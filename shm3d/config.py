@@ -1,0 +1,79 @@
+"""Configuration for the signed heat method (SHM) in 3D.
+
+Mirrors the reference options struct ``SignedHeat3DOptions``
+(/root/reference/include/signed_heat_3d.h:20-28) plus TPU-specific knobs the
+reference does not have (dtype policy, iterative-solver controls, source-block
+culling).  One dataclass, CLI-overridable, no hidden GUI-only knobs
+(SURVEY.md §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class LevelSetConstraint(enum.Enum):
+    """Constraint mode for Step 3 (reference: geometry-central
+    ``LevelSetConstraint``, used at /root/reference/src/main.cpp:54,150-153).
+
+    - ZERO_SET: pin phi = 0 on the source geometry (Dirichlet elimination).
+    - MULTIPLE: per-connected-component equality constraints (KKT saddle).
+    - NONE: unconstrained solve followed by a mean shift along the source.
+    """
+
+    ZERO_SET = "zero_set"
+    MULTIPLE = "multiple"
+    NONE = "none"
+
+
+@dataclasses.dataclass(frozen=True)
+class SignedHeatOptions:
+    """Options controlling a signed-distance solve.
+
+    Defaults follow /root/reference/include/signed_heat_3d.h:20-28:
+    levelSetConstraint=ZeroSet, tCoef=1.0, hCoef=0.0, scale=2.0,
+    useCrouzeixRaviart=true, fastIntegration=false.  The reference's
+    ``rebuild`` flag is replaced by keyed operator caching (SURVEY.md §5.4);
+    see shm3d.solve.cache.
+    """
+
+    level_set_constraint: LevelSetConstraint = LevelSetConstraint.ZERO_SET
+    t_coef: float = 1.0
+    h_coef: float = 0.0
+    scale: float = 2.0
+    use_crouzeix_raviart: bool = True
+    fast_integration: bool = False
+
+    # --- TPU-framework extensions (absent in the reference) ---
+    # Compute dtype for the device path. float32 is the TPU-native choice;
+    # float64 works on CPU (tests/oracle parity) and, slowly, on TPU.
+    dtype: str = "float32"
+    # Relative cutoff for source-block culling in the Yukawa summation.
+    # The kernel exp(-lambda r)/r decays exponentially, so source blocks whose
+    # minimum distance to a query block exceeds the adaptive band contribute
+    # less than `cull_eps` relative to the retained terms. 0 disables culling
+    # (exact brute-force semantics, matching the reference's
+    # O(queries x sources) loops at /root/reference/src/signed_heat_grid_solver.cpp:48-65).
+    cull_eps: float = 0.0
+    # Iterative solver controls (device path). The reference uses direct
+    # sparse factorization (CHOLMOD/LU via geometry-central); the TPU path
+    # uses matrix-free CG/MINRES with multigrid preconditioning (SURVEY.md §7).
+    solver_tol: float = 1e-8
+    solver_maxiter: int = 10000
+    # Iterative refinement: after an f32 solve, compute the residual in f64 on
+    # host/device and correct. Gives near-f64 accuracy at f32 speed.
+    refine_steps: int = 1
+    # Verbose per-phase timing (reference: VERBOSE stderr diagnostics,
+    # /root/reference/src/main.cpp:76-101).
+    verbose: bool = False
+
+    def with_(self, **kwargs) -> "SignedHeatOptions":
+        return dataclasses.replace(self, **kwargs)
+
+    def cache_key(self) -> tuple:
+        """Key over the options that affect the cached discretization /
+        operator artifacts (reference contract: rebuild on hCoef change,
+        /root/reference/src/main.cpp:146-147)."""
+        return (self.h_coef, self.scale, self.dtype)
