@@ -1,0 +1,153 @@
+"""Matrix-free Krylov solvers (jit-compatible, lax.while_loop based).
+
+The reference performs direct sparse factorizations (CHOLMOD Cholesky / LU
+via geometry-central's PositiveDefiniteSolver / solveSquare,
+/root/reference/src/signed_heat_tet_solver.cpp:179,217; .../signed_heat_grid_solver.cpp:107).
+Direct factorization does not map to TPUs; the TPU-native replacement is
+matrix-free preconditioned CG (SPD systems) and MINRES (symmetric indefinite
+KKT saddles), with stencil/segment-sum matvecs (SURVEY.md §7 "hard parts" #1).
+
+All routines operate on flat 1-D vectors; operators close over shapes.
+Scalar reductions are done in the iterate dtype; convergence checks compare
+preconditioned residual norms against ``tol * ||b||_M``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+class SolveResult(NamedTuple):
+    x: jnp.ndarray
+    iterations: jnp.ndarray
+    residual: jnp.ndarray  # final (preconditioned) residual norm estimate
+
+
+def _identity(x):
+    return x
+
+
+def cg(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable] = None,
+    tol: float = 1e-8,
+    maxiter: int = 1000,
+) -> SolveResult:
+    """Preconditioned conjugate gradients for SPD ``matvec``."""
+    M = precond or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    r0 = b - matvec(x0)
+    z0 = M(r0)
+    rz0 = jnp.vdot(r0, z0)
+    bnorm = jnp.sqrt(jnp.vdot(b, M(b)))
+    threshold = tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
+
+    def cond(state):
+        _, r, _, _, rz, k = state
+        return (jnp.sqrt(jnp.abs(rz)) > threshold) & (k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / rz
+        p = z + beta * p
+        return (x, r, z, p, rz_new, k + 1)
+
+    state = (x0, r0, z0, z0, rz0, jnp.array(0, jnp.int32))
+    x, r, _, _, rz, k = jax.lax.while_loop(cond, body, state)
+    return SolveResult(x, k, jnp.sqrt(jnp.abs(rz)))
+
+
+def minres(
+    matvec: Callable,
+    b: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
+    precond: Optional[Callable] = None,
+    tol: float = 1e-8,
+    maxiter: int = 2000,
+) -> SolveResult:
+    """Preconditioned MINRES (Paige & Saunders 1975) for symmetric
+    (possibly indefinite) ``matvec`` with an SPD preconditioner.
+
+    Used for the KKT saddle systems: the grid's always-on trilinear pinning
+    (signed_heat_grid_solver.cpp:100-108) and the Multiple-constraint modes
+    (signed_heat_tet_solver.cpp:211-217,286-292,382-389).
+    """
+    M = precond or _identity
+    dtype = b.dtype
+    eps = jnp.finfo(dtype).eps
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    r1 = b - matvec(x0)
+    y = M(r1)
+    beta1 = jnp.sqrt(jnp.abs(jnp.vdot(r1, y)))
+    threshold = tol * jnp.maximum(beta1, jnp.finfo(dtype).tiny)
+
+    class _S(NamedTuple):
+        x: jnp.ndarray
+        r1: jnp.ndarray
+        r2: jnp.ndarray
+        y: jnp.ndarray
+        w: jnp.ndarray
+        w2: jnp.ndarray
+        oldb: jnp.ndarray
+        beta: jnp.ndarray
+        dbar: jnp.ndarray
+        epsln: jnp.ndarray
+        phibar: jnp.ndarray
+        cs: jnp.ndarray
+        sn: jnp.ndarray
+        k: jnp.ndarray
+
+    f = lambda v: jnp.asarray(v, dtype)
+    init = _S(
+        x0, r1, r1, y,
+        jnp.zeros_like(b), jnp.zeros_like(b),
+        f(0.0), beta1, f(0.0), f(0.0), beta1, f(-1.0), f(0.0),
+        jnp.array(0, jnp.int32),
+    )
+
+    def cond(s: _S):
+        return (s.phibar > threshold) & (s.k < maxiter) & (s.beta > 0)
+
+    def body(s: _S):
+        v = s.y / s.beta
+        y = matvec(v)
+        y = jnp.where(s.k >= 1, y - (s.beta / s.oldb) * s.r1, y)
+        alfa = jnp.real(jnp.vdot(v, y))
+        y = y - (alfa / s.beta) * s.r2
+        r1, r2 = s.r2, y
+        y = M(r2)
+        oldb = s.beta
+        beta = jnp.sqrt(jnp.abs(jnp.vdot(r2, y)))
+
+        oldeps = s.epsln
+        delta = s.cs * s.dbar + s.sn * alfa
+        gbar = s.sn * s.dbar - s.cs * alfa
+        epsln = s.sn * beta
+        dbar = -s.cs * beta
+        gamma = jnp.maximum(jnp.sqrt(gbar * gbar + beta * beta), eps)
+        cs = gbar / gamma
+        sn = beta / gamma
+        phi = cs * s.phibar
+        phibar = sn * s.phibar
+
+        w1 = s.w2
+        w2 = s.w
+        w = (v - oldeps * w1 - delta * w2) / gamma
+        x = s.x + phi * w
+        return _S(x, r1, r2, y, w, w2, oldb, beta, dbar, epsln, phibar, cs, sn, s.k + 1)
+
+    out = jax.lax.while_loop(cond, body, init)
+    return SolveResult(out.x, out.k, out.phibar)

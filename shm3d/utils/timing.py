@@ -1,0 +1,63 @@
+"""Structured per-phase timing (SURVEY.md §5.1).
+
+Replaces the reference's ad-hoc chrono spans printed to stderr
+(/root/reference/src/main.cpp:19-25,76-94 "Solve time (s)";
+/root/reference/src/signed_heat_tet_solver.cpp:12-14,43-45) with a phase timer
+that records named spans, optionally prints them, and can emit a
+``jax.profiler`` trace for TPU timeline inspection.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import sys
+import time
+from typing import Dict, List, Optional, Tuple
+
+
+class PhaseTimer:
+    def __init__(self, verbose: bool = False, stream=None):
+        self.verbose = verbose
+        self.stream = stream or sys.stderr
+        self.spans: List[Tuple[str, float]] = []
+        self.notes: List[str] = []
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self.spans.append((name, dt))
+            if self.verbose:
+                print(f"[shm3d] {name}: {dt:.4f} s", file=self.stream)
+
+    def note(self, msg: str):
+        self.notes.append(msg)
+        if self.verbose:
+            print(f"[shm3d]   {msg}", file=self.stream)
+
+    def total(self) -> float:
+        return sum(dt for _, dt in self.spans)
+
+    def as_dict(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for name, dt in self.spans:
+            out[name] = out.get(name, 0.0) + dt
+        return out
+
+
+@contextlib.contextmanager
+def profiler_trace(logdir: Optional[str]):
+    """Wrap a region in a jax.profiler trace when ``logdir`` is set."""
+    if not logdir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

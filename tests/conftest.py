@@ -8,13 +8,17 @@ tolerance against the float64 oracle.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax
 
+# The environment may pre-register an experimental TPU platform plugin that
+# overrides JAX_PLATFORMS env selection; jax.config wins over both.  Tests
+# must run on the 8-virtual-device CPU backend (SURVEY.md §4.4) with real
+# float64 (TPU f64 emulation has f32 range and NaNs on large squares).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np

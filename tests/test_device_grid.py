@@ -1,0 +1,217 @@
+"""Device (JAX) grid path vs the float64 oracle.
+
+Runs on the CPU backend with x64 enabled (conftest), so the device pipeline's
+algorithmic parity is separated from TPU float32 precision effects (which are
+exercised separately in float32 tests with looser tolerances).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shm3d.config import SignedHeatOptions
+from shm3d.domains import grid as griddom
+from shm3d.ops import stencil
+from shm3d.ops.yukawa import yukawa_field_xla, yukawa_field_pallas
+from shm3d.oracle import reference as oracle
+from shm3d.solve import krylov
+from shm3d.solvers.grid import GridSolver
+
+from conftest import make_icosphere
+
+
+# ---------------------------------------------------------------------------
+# stencil ops vs scipy operator construction
+
+
+def _rand_grid(n=6, cell=0.37, seed=0):
+    g = griddom.GridSpec((0.1, -0.2, 0.3), cell, n)
+    rng = np.random.default_rng(seed)
+    return g, rng
+
+
+def test_laplacian_apply_matches_scipy():
+    g, rng = _rand_grid()
+    u = rng.normal(size=g.total_nodes)
+    expected = griddom.laplacian_matrix(g) @ u
+    got = stencil.laplacian_apply(jnp.asarray(u.reshape(g.shape)), g.cell_size)
+    np.testing.assert_allclose(np.asarray(got).reshape(-1), expected, atol=1e-10)
+
+
+def test_laplacian_diagonal_matches_scipy():
+    g, _ = _rand_grid()
+    L = griddom.laplacian_matrix(g)
+    got = stencil.laplacian_diagonal(g.shape, g.cell_size, dtype=jnp.float64)
+    np.testing.assert_allclose(np.asarray(got).reshape(-1), L.diagonal(), atol=1e-12)
+
+
+def test_gradient_apply_matches_scipy():
+    g, rng = _rand_grid(n=5, cell=0.21)
+    u = rng.normal(size=g.total_nodes)
+    expected = (griddom.gradient_matrix(g) @ u).reshape(-1, 3)
+    got = stencil.gradient_apply(jnp.asarray(u.reshape(g.shape)), g.cell_size)
+    np.testing.assert_allclose(np.asarray(got).reshape(-1, 3), expected, atol=1e-12)
+
+
+def test_divergence_apply_matches_scipy():
+    g, rng = _rand_grid(n=5)
+    Y = rng.normal(size=(g.total_nodes, 3))
+    expected = griddom.gradient_matrix(g).T @ Y.reshape(-1)
+    got = stencil.divergence_apply(jnp.asarray(Y.reshape(*g.shape, 3)), g.cell_size)
+    np.testing.assert_allclose(np.asarray(got).reshape(-1), expected, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Yukawa field
+
+
+def test_yukawa_xla_matches_oracle(small_icosphere):
+    from shm3d.geometry import sources as src_mod
+
+    src = src_mod.from_mesh(small_icosphere)
+    rng = np.random.default_rng(3)
+    q = rng.uniform(-2, 2, size=(257, 3))
+    lam = 3.1
+    expected = oracle.diffuse_vector_field(q, src, lam)
+    got = yukawa_field_xla(
+        jnp.asarray(q), jnp.asarray(src.points), jnp.asarray(src.vectors()), lam, q_tile=64
+    )
+    np.testing.assert_allclose(np.asarray(got), expected, rtol=1e-10, atol=1e-12)
+
+
+def test_yukawa_pallas_interpret_matches_xla(small_icosphere):
+    """Matched-precision (f64) comparison: validates the Pallas kernel's
+    block/padding/normalization structure without f32 accumulation noise
+    (f32 reordering error near vector cancellation is exercised separately)."""
+    from shm3d.geometry import sources as src_mod
+
+    src = src_mod.from_mesh(small_icosphere)
+    rng = np.random.default_rng(4)
+    q = rng.uniform(-2, 2, size=(130, 3))
+    lam = 2.0
+    expected = yukawa_field_xla(
+        jnp.asarray(q, jnp.float64),
+        jnp.asarray(src.points, jnp.float64),
+        jnp.asarray(src.vectors(), jnp.float64),
+        lam,
+    )
+    got = yukawa_field_pallas(
+        jnp.asarray(q, jnp.float64),
+        jnp.asarray(src.points, jnp.float64),
+        jnp.asarray(src.vectors(), jnp.float64),
+        lam,
+        q_tile=64,
+        s_block=32,
+        interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-12, atol=1e-12)
+
+
+def test_yukawa_pallas_interpret_f32_sane(small_icosphere):
+    """f32 interpret run stays within f32-cancellation error of the f64
+    oracle (normalization amplifies noise where |X| is small)."""
+    from shm3d.geometry import sources as src_mod
+
+    src = src_mod.from_mesh(small_icosphere)
+    rng = np.random.default_rng(4)
+    q = rng.uniform(-2, 2, size=(130, 3))
+    lam = 2.0
+    f64 = oracle.diffuse_vector_field(q, src, lam)
+    got = yukawa_field_pallas(
+        jnp.asarray(q, jnp.float32),
+        jnp.asarray(src.points, jnp.float32),
+        jnp.asarray(src.vectors(), jnp.float32),
+        lam,
+        q_tile=64,
+        s_block=32,
+        interpret=True,
+    )
+    assert np.abs(np.asarray(got, np.float64) - f64).max() < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# Krylov solvers
+
+
+def test_cg_solves_spd():
+    rng = np.random.default_rng(5)
+    A = rng.normal(size=(40, 40))
+    A = A @ A.T + 40 * np.eye(40)
+    b = rng.normal(size=40)
+    Aj = jnp.asarray(A)
+    res = krylov.cg(lambda x: Aj @ x, jnp.asarray(b), tol=1e-12, maxiter=200)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), rtol=1e-8)
+
+
+def test_minres_solves_symmetric_indefinite():
+    rng = np.random.default_rng(6)
+    B = rng.normal(size=(30, 30))
+    A = (B + B.T) / 2 + np.diag(np.linspace(-5, 5, 30))
+    b = rng.normal(size=30)
+    Aj = jnp.asarray(A)
+    res = krylov.minres(lambda x: Aj @ x, jnp.asarray(b), tol=1e-12, maxiter=500)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), rtol=1e-6, atol=1e-8)
+
+
+def test_minres_with_spd_preconditioner():
+    rng = np.random.default_rng(7)
+    B = rng.normal(size=(25, 25))
+    A = (B + B.T) / 2 + np.diag(np.linspace(1, 50, 25))
+    d = np.abs(np.diag(A)) + 1.0
+    b = rng.normal(size=25)
+    Aj, dj = jnp.asarray(A), jnp.asarray(d)
+    res = krylov.minres(lambda x: Aj @ x, jnp.asarray(b), precond=lambda r: r / dj, tol=1e-12, maxiter=500)
+    np.testing.assert_allclose(np.asarray(res.x), np.linalg.solve(A, b), rtol=1e-6, atol=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# end-to-end vs oracle
+
+
+@pytest.mark.parametrize("geom_kind", ["mesh", "points"])
+def test_grid_pipeline_matches_oracle_f64(geom_kind, icosphere):
+    if geom_kind == "mesh":
+        geom = icosphere
+    else:
+        from shm3d.io.mesh_io import PointCloud
+
+        # oriented points from the icosphere vertices (outward normals)
+        v = icosphere.vertices
+        geom = PointCloud(v, v / np.linalg.norm(v, axis=1, keepdims=True))
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-12, solver_maxiter=20000, refine_steps=0)
+    expected = oracle.solve_grid(geom, opts)
+    got = GridSolver().compute_distance(geom, opts)
+    rel = np.linalg.norm(got.phi - expected.phi) / np.linalg.norm(expected.phi)
+    assert rel < 1e-6, f"rel L2 {rel}"
+
+
+def test_grid_pipeline_f32_with_refinement(icosphere):
+    opts64 = SignedHeatOptions(dtype="float64", solver_tol=1e-12, solver_maxiter=20000, refine_steps=0)
+    expected = oracle.solve_grid(icosphere, opts64)
+    opts32 = SignedHeatOptions(dtype="float32", solver_tol=1e-7, solver_maxiter=20000, refine_steps=2)
+    got = GridSolver().compute_distance(icosphere, opts32)
+    rel = np.linalg.norm(got.phi - expected.phi) / np.linalg.norm(expected.phi)
+    # f32 Yukawa + f32 MINRES with f64 defect correction
+    assert rel < 2e-5, f"rel L2 {rel}"
+
+
+def test_grid_pipeline_fast_integration_matches_oracle(icosphere):
+    opts = SignedHeatOptions(dtype="float64", fast_integration=True)
+    expected = oracle.solve_grid(icosphere, opts)
+    got = GridSolver().compute_distance(icosphere, opts)
+    rel = np.linalg.norm(got.phi - expected.phi) / np.linalg.norm(expected.phi)
+    assert rel < 1e-10, f"rel L2 {rel}"
+
+
+def test_operator_cache_reuse(icosphere):
+    solver = GridSolver()
+    opts = SignedHeatOptions(dtype="float64", refine_steps=0, solver_tol=1e-10)
+    r1 = solver.compute_distance(icosphere, opts)
+    assert len(solver._cache) == 1
+    r2 = solver.compute_distance(icosphere, opts)
+    assert len(solver._cache) == 1  # cache hit; no rebuild
+    np.testing.assert_allclose(r1.phi, r2.phi, rtol=1e-12)
+    # hCoef change invalidates (new key), mirroring main.cpp:146-147
+    solver.compute_distance(icosphere, opts.with_(h_coef=1.0))
+    assert len(solver._cache) == 2
