@@ -1,0 +1,93 @@
+"""Ring-scheduled Step-1 Yukawa summation over a device mesh.
+
+The reference's Step-1 hot loop is a brute-force O(Q x S) pairwise summation
+(/root/reference/src/signed_heat_grid_solver.cpp:48-65; README.md:77-81 notes
+it is unaccelerated).  Structurally it is unnormalized attention, so the
+multi-chip decomposition is exactly ring attention (SURVEY.md §2e):
+
+- queries (grid nodes / tet barycenters) are sharded across the mesh axis and
+  never move (the DP dimension);
+- source shards (points + area-weighted normals) rotate around the ring with
+  ``jax.lax.ppermute`` over ICI, one hop per step, overlapping compute with
+  the collective;
+- each device streams every source shard through its resident queries with
+  the same flash-attention-style running-min-exponent rescaling as the
+  single-chip kernel (shm3d.ops.yukawa), so no psum is needed at the end —
+  after n hops every device has seen every source.
+
+Runs identically on a CPU mesh of virtual devices (tests) and a TPU slice.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.yukawa import _BIG
+
+
+def _block_update(q, sp, sv, lam, m, acc):
+    """One source-shard contribution with running-exponent rescaling.
+
+    q (Ql, 3); sp/sv (Sl, 3); m (Ql, 1); acc (Ql, 3) -> (m', acc')."""
+    diff = q[:, None, :] - sp[None, :, :]
+    b = lam * jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # (Ql, Sl)
+    m_new = jnp.minimum(m, jnp.min(b, axis=1, keepdims=True))
+    w = jnp.exp(m_new - b) * (lam / b)
+    contrib = w @ sv
+    rescale = jnp.where(m >= _BIG, 0.0, jnp.exp(m_new - m))
+    return m_new, acc * rescale + contrib
+
+
+def _ring_body(q, sp, sv, lam, axis_name: str, normalize: bool):
+    """Per-device program: rotate source shards around ``axis_name``."""
+    n = jax.lax.axis_size(axis_name)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def step(carry, _):
+        m, acc, sp_cur, sv_cur = carry
+        m, acc = _block_update(q, sp_cur, sv_cur, lam, m, acc)
+        sp_nxt = jax.lax.ppermute(sp_cur, axis_name, perm)
+        sv_nxt = jax.lax.ppermute(sv_cur, axis_name, perm)
+        return (m, acc, sp_nxt, sv_nxt), None
+
+    m0 = jnp.full((q.shape[0], 1), _BIG, dtype=q.dtype)
+    acc0 = jnp.zeros((q.shape[0], 3), dtype=q.dtype)
+    # mark the device-invariant initial carry as device-varying for the scan
+    m0 = jax.lax.pcast(m0, (axis_name,), to="varying")
+    acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
+    (m, acc, _, _), _ = jax.lax.scan(step, (m0, acc0, sp, sv), None, length=n)
+    if normalize:
+        return acc / jnp.sqrt(jnp.sum(acc * acc, axis=1, keepdims=True))
+    return acc * jnp.exp(-m)
+
+
+def yukawa_field_ring(
+    queries: jnp.ndarray,
+    src_points: jnp.ndarray,
+    src_vectors: jnp.ndarray,
+    lam,
+    mesh: Mesh,
+    axis_name: str = "d",
+    normalize: bool = True,
+) -> jnp.ndarray:
+    """Ring-scheduled Yukawa field over ``mesh`` (1-D on ``axis_name``).
+
+    queries (Q, 3) and sources (S, 3) must be divisible by the axis size
+    (pad upstream with shm3d.ops.yukawa.pad_sources / zero-weight entries).
+    Returns (Q, 3) sharded like the queries.
+    """
+    body = functools.partial(
+        _ring_body, lam=jnp.asarray(lam, queries.dtype), axis_name=axis_name,
+        normalize=normalize,
+    )
+    fn = jax.shard_map(
+        lambda q, sp, sv: body(q, sp, sv),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+    )
+    return fn(queries, src_points, src_vectors)

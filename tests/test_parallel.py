@@ -1,0 +1,106 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (SURVEY.md §4.4).
+
+Property under test: sharded result == single-device result to tolerance,
+for (a) the ring-scheduled Yukawa summation and (b) the z-sharded stencil
+solve path where XLA inserts halo collectives automatically.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shm3d.ops import stencil
+from shm3d.ops.yukawa import yukawa_field_xla
+from shm3d.parallel import (
+    device_mesh,
+    field3_sharding,
+    field3v_sharding,
+    node_sharding,
+    source_sharding,
+    yukawa_field_ring,
+)
+from shm3d.solve import krylov
+
+from conftest import make_icosphere
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert len(jax.devices()) >= 8, "conftest must force 8 virtual CPU devices"
+    return device_mesh(8)
+
+
+def test_ring_yukawa_matches_single_device(mesh8):
+    from shm3d.geometry import sources as src_mod
+
+    src = src_mod.from_mesh(make_icosphere(1))  # 80 faces -> pad to 80? 80/8=10 ok
+    rng = np.random.default_rng(11)
+    q = rng.uniform(-2, 2, size=(256, 3))
+    lam = 2.7
+    qj = jnp.asarray(q)
+    sp = jnp.asarray(src.points)
+    sv = jnp.asarray(src.vectors())
+
+    expected = yukawa_field_xla(qj, sp, sv, lam)
+
+    qs = jax.device_put(qj, node_sharding(mesh8))
+    sps = jax.device_put(sp, source_sharding(mesh8))
+    svs = jax.device_put(sv, source_sharding(mesh8))
+    got = yukawa_field_ring(qs, sps, svs, lam, mesh8)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-12, atol=1e-13)
+
+
+def test_ring_yukawa_unnormalized(mesh8):
+    from shm3d.geometry import sources as src_mod
+
+    src = src_mod.from_mesh(make_icosphere(1))
+    rng = np.random.default_rng(12)
+    q = rng.uniform(-2, 2, size=(64, 3))
+    lam = 1.3
+    expected = yukawa_field_xla(
+        jnp.asarray(q), jnp.asarray(src.points), jnp.asarray(src.vectors()), lam,
+        normalize=False,
+    )
+    qs = jax.device_put(jnp.asarray(q), node_sharding(mesh8))
+    sps = jax.device_put(jnp.asarray(src.points), source_sharding(mesh8))
+    svs = jax.device_put(jnp.asarray(src.vectors()), source_sharding(mesh8))
+    got = yukawa_field_ring(qs, sps, svs, lam, mesh8, normalize=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-10, atol=1e-12)
+
+
+def test_sharded_stencil_matvec_matches_single(mesh8):
+    """Laplacian/divergence on z-sharded fields == unsharded (XLA halos)."""
+    n = 16
+    rng = np.random.default_rng(13)
+    u = rng.normal(size=(n, n, n))
+    Y = rng.normal(size=(n, n, n, 3))
+    cell = 0.3
+
+    expected_L = stencil.laplacian_apply(jnp.asarray(u), cell)
+    expected_D = stencil.divergence_apply(jnp.asarray(Y), cell)
+
+    us = jax.device_put(jnp.asarray(u), field3_sharding(mesh8))
+    Ys = jax.device_put(jnp.asarray(Y), field3v_sharding(mesh8))
+    got_L = jax.jit(lambda x: stencil.laplacian_apply(x, cell))(us)
+    got_D = jax.jit(lambda x: stencil.divergence_apply(x, cell))(Ys)
+    np.testing.assert_allclose(np.asarray(got_L), np.asarray(expected_L), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(got_D), np.asarray(expected_D), atol=1e-12)
+
+
+def test_sharded_cg_poisson_matches_single(mesh8):
+    """z-sharded CG on an SPD shifted Laplacian == single-device result."""
+    n = 16
+    rng = np.random.default_rng(14)
+    b = rng.normal(size=n * n * n)
+    cell = 0.25
+    shape = (n, n, n)
+
+    def matvec(x):
+        u = x.reshape(shape)
+        return (-stencil.laplacian_apply(u, cell) + 5.0 * u).reshape(-1)
+
+    expected = krylov.cg(matvec, jnp.asarray(b), tol=1e-12, maxiter=500)
+    bs = jax.device_put(jnp.asarray(b), node_sharding(mesh8))
+    got = jax.jit(lambda bb: krylov.cg(matvec, bb, tol=1e-12, maxiter=500).x)(bs)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected.x), rtol=1e-9, atol=1e-10)
