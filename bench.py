@@ -48,9 +48,21 @@ def main():
     )
     solver = GridSolver()
 
-    t0 = time.time()
-    solver.compute_distance(geom, opts)  # cold: discretize + compile + solve
-    cold_s = time.time() - t0
+    # Cold solve (discretize + compile + solve).  First compiles over the TPU
+    # tunnel take minutes and occasionally kill the remote worker; compiled
+    # programs are cached server-side, so a retry resumes cheaply.
+    cold_s = None
+    for attempt in range(3):
+        t0 = time.time()
+        try:
+            solver.compute_distance(geom, opts)
+            cold_s = time.time() - t0
+            break
+        except Exception as e:  # jax.errors.JaxRuntimeError on worker restart
+            print(f"# cold attempt {attempt} failed: {type(e).__name__}", file=sys.stderr)
+            time.sleep(10)
+    if cold_s is None:
+        raise RuntimeError("benchmark cold solve failed after retries")
 
     times = []
     for _ in range(3):

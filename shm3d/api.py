@@ -1,0 +1,48 @@
+"""Top-level API: ``SignedHeatSolver`` facade over the two domain solvers.
+
+Mirrors the reference's pair of solver classes behind one entry point
+(``SignedHeatTetSolver`` / ``SignedHeatGridSolver`` constructed at
+/root/reference/src/main.cpp:289-292 and selected by the --grid flag).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple, Union
+
+import numpy as np
+
+from .config import LevelSetConstraint, SignedHeatOptions
+from .io.mesh_io import Mesh, PointCloud
+
+
+class SignedHeatSolver:
+    """domain: "tet" (default, like the reference) or "grid"."""
+
+    def __init__(self, domain: str = "tet"):
+        if domain not in ("tet", "grid"):
+            raise ValueError(f"domain must be 'tet' or 'grid', got {domain!r}")
+        self.domain = domain
+        if domain == "grid":
+            from .solvers.grid import GridSolver
+
+            self._impl = GridSolver()
+        else:
+            from .tet.solver import SignedHeatTetSolver
+
+            self._impl = SignedHeatTetSolver()
+
+    def compute_distance(self, geom: Union[Mesh, PointCloud],
+                         options: SignedHeatOptions = SignedHeatOptions()):
+        """Returns a GridResult (phi per grid node) or TetResult (phi per tet
+        vertex), matching the reference's ``computeDistance`` overloads."""
+        return self._impl.compute_distance(geom, options)
+
+    def isosurface(self, result, isoval: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
+        """Extract an isosurface mesh (V, F) from a solve result
+        (reference: igl::marching_tets on the tet path, Polyscope marching
+        cubes on the grid path — src/main.cpp:116-124)."""
+        from .ops import contour
+
+        if self.domain == "grid":
+            return contour.grid_isosurface(result.grid, result.phi, isoval)
+        return contour.marching_tets(result.mesh.vertices, result.mesh.tets, result.phi, isoval)

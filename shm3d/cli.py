@@ -1,0 +1,109 @@
+"""Headless CLI with reference-compatible flags.
+
+The reference binary (/root/reference/src/main.cpp:229-262) accepts
+``--g/--grid``, ``--f/--fast``, ``--V/--verbose`` and opens a Polyscope GUI;
+solving happens only on button clicks (no batch mode, SURVEY.md §3.1).  This
+CLI keeps those flags, actually implements ``--h`` (hCoef) as documented in
+the reference README (README.md:70 lists it but main.cpp never parses it —
+SURVEY.md §7 quirk list), and adds headless outputs:
+
+    shm3d data/bunny_small.obj --g --h 1 --export-iso iso.obj --export-phi phi.npy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+from .api import SignedHeatSolver
+from .config import LevelSetConstraint, SignedHeatOptions
+from .io.mesh_io import read_geometry, write_obj
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="shm3d",
+        description="Generalized signed distance in 3D via the signed heat method "
+        "(TPU-native reimplementation of nzfeng/signed-heat-3d).",
+    )
+    p.add_argument("input", help="mesh (.obj/.ply/.off/.stl) or oriented point cloud (.pc)")
+    p.add_argument("--g", "--grid", dest="grid", action="store_true",
+                   help="solve on a background grid (default: tet mesh)")
+    p.add_argument("--f", "--fast", dest="fast", action="store_true",
+                   help="greedy (BFS) integration instead of the Poisson solve")
+    p.add_argument("--V", "--verbose", dest="verbose", action="store_true",
+                   help="per-phase timing to stderr")
+    p.add_argument("--h", dest="h_coef", type=float, default=0.0,
+                   help="mesh refinement exponent hCoef (grid: n = 2*2^(h+3))")
+    p.add_argument("--t-coef", type=float, default=1.0, help="diffusion time factor tCoef")
+    p.add_argument("--scale", type=float, default=2.0, help="bounding-cube half-side = radius*scale")
+    p.add_argument("--constraint", choices=["zero", "multiple", "none"], default="zero",
+                   help="level-set constraint mode (tet domain; the grid domain "
+                        "always soft-pins the zero set, like the reference)")
+    p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
+    p.add_argument("--tol", type=float, default=1e-8, help="iterative solver tolerance")
+    p.add_argument("--export-iso", metavar="PATH", help="write the zero isosurface as OBJ")
+    p.add_argument("--isoval", type=float, default=0.0, help="isovalue for --export-iso")
+    p.add_argument("--export-phi", metavar="PATH", help="write phi as .npy")
+    p.add_argument("--json", action="store_true", help="print a JSON summary line")
+    return p
+
+
+_CONSTRAINTS = {
+    "zero": LevelSetConstraint.ZERO_SET,
+    "multiple": LevelSetConstraint.MULTIPLE,
+    "none": LevelSetConstraint.NONE,
+}
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    geom = read_geometry(args.input)
+
+    options = SignedHeatOptions(
+        level_set_constraint=_CONSTRAINTS[args.constraint],
+        t_coef=args.t_coef,
+        h_coef=args.h_coef,
+        scale=args.scale,
+        fast_integration=args.fast,
+        dtype=args.dtype,
+        solver_tol=args.tol,
+        verbose=args.verbose,
+    )
+    solver = SignedHeatSolver("grid" if args.grid else "tet")
+
+    t0 = time.time()
+    result = solver.compute_distance(geom, options)
+    solve_s = time.time() - t0
+    phi = result.phi
+    if args.verbose:
+        print(f"Solve time (s): {solve_s:.3f}", file=sys.stderr)
+        print(f"min/max of phi: {phi.min():.6g} / {phi.max():.6g}", file=sys.stderr)
+
+    if args.export_phi:
+        np.save(args.export_phi, phi)
+    if args.export_iso:
+        V, F = solver.isosurface(result, args.isoval)
+        write_obj(args.export_iso, V, F)
+        if args.verbose:
+            print(f"isosurface: {V.shape[0]} vertices / {F.shape[0]} faces -> "
+                  f"{args.export_iso}", file=sys.stderr)
+
+    if args.json:
+        print(json.dumps({
+            "input": args.input,
+            "domain": solver.domain,
+            "solve_s": round(solve_s, 4),
+            "phi_min": float(phi.min()),
+            "phi_max": float(phi.max()),
+            "n_unknowns": int(phi.shape[0]),
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

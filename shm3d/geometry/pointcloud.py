@@ -100,3 +100,27 @@ def local_triangulation(positions: np.ndarray, k: int = _K_NEIGHBORS) -> LocalTr
 
 def point_dual_areas(positions: np.ndarray, k: int = _K_NEIGHBORS) -> np.ndarray:
     return local_triangulation(positions, k).dual_areas
+
+
+def connected_components(positions: np.ndarray, k: int = _K_NEIGHBORS) -> np.ndarray:
+    """Per-point component labels over the local-triangulation neighbor graph
+    (the reference walks the tufted triangulation's vertex adjacency for its
+    Multiple-constraint rows, signed_heat_tet_solver.cpp:353-381).  Labels
+    are numbered in order of first appearance."""
+    import scipy.sparse as sp
+    import scipy.sparse.csgraph as csgraph
+
+    tri = local_triangulation(positions, k).triangles
+    P = positions.shape[0]
+    rows = np.concatenate([tri[:, 0], tri[:, 1], tri[:, 2]])
+    cols = np.concatenate([tri[:, 1], tri[:, 2], tri[:, 0]])
+    g = sp.coo_matrix((np.ones(rows.shape[0]), (rows, cols)), shape=(P, P))
+    _, labels = csgraph.connected_components(g, directed=False)
+    # renumber by first appearance
+    first = {}
+    out = np.empty(P, dtype=np.int64)
+    for i, l in enumerate(labels):
+        if l not in first:
+            first[l] = len(first)
+        out[i] = first[l]
+    return out

@@ -167,8 +167,8 @@ def yukawa_field_pallas(
     src_points: jnp.ndarray,
     src_vectors: jnp.ndarray,
     lam,
-    q_tile: int = 512,
-    s_block: int = 1024,
+    q_tile: int = 256,
+    s_block: int = 2048,
     normalize: bool = True,
     interpret: bool = False,
 ) -> jnp.ndarray:

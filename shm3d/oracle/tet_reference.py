@@ -1,0 +1,102 @@
+"""Float64 SciPy oracle for the tet-domain pipeline.
+
+Direct-solve transcription of the reference's Step-3 vertex path
+(/root/reference/src/signed_heat_tet_solver.cpp:161-232,319-397) over the
+same discretization as the device solver (shm3d.tet):
+
+- ZERO_SET: Dirichlet block elimination on the source vertices — splu on
+  the interior block of L (reference blockDecomposeSquare +
+  solvePositiveDefinite :169-180,336-350);
+- MULTIPLE: KKT [[L, A^T], [A, 0]] [phi; mu] = [div; 0] with
+  equality-to-root rows, spsolve (:181-220,352-394), then mean shift;
+- NONE: particular solution of the singular system via lsqr, then mean
+  shift (the shift cancels the constant ambiguity, :221-229,576-589).
+
+The device path (matrix-free CG/MINRES) must match these to rel-L2 <= 1e-6
+in float64.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import scipy.sparse as sp
+import scipy.sparse.linalg as spla
+
+from ..config import LevelSetConstraint, SignedHeatOptions
+from ..geometry import pointcloud as pc_geom
+from ..geometry import sources as src_mod
+from ..geometry import surface as surf
+from ..io.mesh_io import Mesh
+from . import reference as grid_oracle
+from ..tet import fem
+from ..tet.mesher import TetMesh, build_tet_domain
+from ..tet.solver import TetResult, _component_rows, integrate_greedily_tet
+
+
+def solve_tet(geom, options: SignedHeatOptions = SignedHeatOptions()) -> TetResult:
+    is_mesh = isinstance(geom, Mesh)
+    sources = src_mod.from_geometry(geom)
+    if is_mesh:
+        src_pts = geom.vertices
+        labels = surf.connected_components_vertices(geom)
+        dual_areas = surf.vertex_dual_areas(geom)
+    else:
+        src_pts = geom.positions
+        labels = pc_geom.connected_components(geom.positions)
+        dual_areas = sources.weights
+    mesh = build_tet_domain(
+        src_pts, options.scale, options.h_coef, mean_area=float(np.mean(sources.weights))
+    )
+    dual = fem.build_dual_laplacian(mesh)
+    L = dual.to_scipy()
+    n = mesh.n_vertices
+
+    spacing = mesh.mean_node_spacing()
+    lam = np.sqrt(1.0 / (options.t_coef * spacing ** 2))
+    Y = grid_oracle.diffuse_vector_field(mesh.barycenters(), sources, lam)
+    div = dual.divergence_np(Y)
+
+    if options.fast_integration:
+        phi = _greedy(mesh, Y, options, dual_areas)
+        return TetResult(phi, mesh, Y)
+
+    mode = options.level_set_constraint
+    if mode == LevelSetConstraint.ZERO_SET:
+        V = mesh.n_src
+        interior = np.arange(V, n)
+        LII = L[interior][:, interior].tocsc()
+        phi = np.zeros(n)
+        phi[interior] = spla.splu(LII).solve(div[interior])
+    elif mode == LevelSetConstraint.MULTIPLE:
+        roots, members = _component_rows(labels, mesh.src_vertex)
+        m = roots.shape[0]
+        A = sp.coo_matrix(
+            (
+                np.concatenate([np.ones(m), -np.ones(m)]),
+                (np.concatenate([np.arange(m), np.arange(m)]), np.concatenate([roots, members])),
+            ),
+            shape=(m, n),
+        ).tocsr()
+        KKT = sp.bmat([[L, A.T], [A, None]], format="csc")
+        rhs = np.concatenate([div, np.zeros(m)])
+        soln = spla.spsolve(KKT, rhs)
+        phi = soln[:n]
+        phi = phi - _shift(phi, mesh, dual_areas)
+    else:
+        # singular: take any particular solution, shift fixes the constant
+        phi = spla.lsqr(L.tocsc(), div, atol=1e-14, btol=1e-14, iter_lim=20000)[0]
+        phi = phi - _shift(phi, mesh, dual_areas)
+    return TetResult(phi, mesh, Y)
+
+
+def _shift(phi: np.ndarray, mesh: TetMesh, dual_areas: np.ndarray) -> float:
+    vals = phi[mesh.src_vertex]
+    return float(np.sum(dual_areas * vals) / np.sum(dual_areas))
+
+
+def _greedy(mesh: TetMesh, Y: np.ndarray, options: SignedHeatOptions, dual_areas: np.ndarray) -> np.ndarray:
+    mode = options.level_set_constraint
+    if mode == LevelSetConstraint.ZERO_SET:
+        return integrate_greedily_tet(mesh, Y, np.unique(mesh.src_vertex))
+    phi = integrate_greedily_tet(mesh, Y, np.array([0]))
+    return phi - _shift(phi, mesh, dual_areas)

@@ -33,8 +33,9 @@ from ..domains import grid as griddom
 from ..geometry import sources as src_mod
 from ..io.mesh_io import Mesh, PointCloud
 from ..ops import stencil
+from ..ops import yukawa_sparse
 from ..ops.yukawa import yukawa_field
-from ..solve import krylov
+from ..solve import krylov, multigrid
 from ..utils import timing
 
 
@@ -90,13 +91,15 @@ def _integrate_exact(
     matvec = functools.partial(
         _kkt_matvec, nodes8=nodes8, coeffs8=coeffs8, cell_size=cell_size, shape=shape
     )
-    # Block-diagonal Jacobi preconditioner: diag(-L) for u, and
-    # diag(A diag(-L)^-1 A^T) for the multipliers.
+    # Block-diagonal preconditioner: symmetric multigrid V-cycle for the
+    # u-block H = -L, diagonal Schur estimate diag(A diag(H)^-1 A^T) for the
+    # multipliers (the direct-factorization replacement, SURVEY.md §7).
     diag_H = -stencil.laplacian_diagonal(shape, cell_size, dtype=dtype).reshape(-1)
     diag_S = jnp.sum(coeffs8 * coeffs8 / diag_H[nodes8], axis=1)
+    mg = multigrid.make_node_preconditioner(shape, cell_size, dtype=dtype)
 
     def precond(r):
-        return jnp.concatenate([r[:N] / diag_H, r[N:] / diag_S])
+        return jnp.concatenate([mg(r[:N]), r[N:] / diag_S])
 
     res = krylov.minres(matvec, rhs, x0=x0, precond=precond, tol=tol, maxiter=maxiter)
     return res.x, res.iterations, res.residual
@@ -186,7 +189,25 @@ class GridSolver:
             queries = _node_positions_device(
                 jnp.asarray(grid.bbox_min, dtype), jnp.asarray(grid.cell_size, dtype), grid.n, dtype
             )
-            Y = yukawa_field(queries, cached["points"], cached["vectors"], lam)
+            use_sparse = (
+                options.cull_eps > 0
+                and grid.n % yukawa_sparse.BRICK == 0
+                and jax.default_backend() == "tpu"
+            )
+            if use_sparse:
+                plan_key = ("cull_plan", lam, options.cull_eps)
+                plan = cached.get(plan_key)
+                if plan is None:
+                    plan = yukawa_sparse.build_plan(
+                        grid, sources.points, lam, options.cull_eps
+                    )
+                    cached[plan_key] = plan
+                tm.note(f"culling kept {plan.kept_fraction:.1%} of source blocks")
+                Y = yukawa_sparse.yukawa_field_sparse(
+                    queries, cached["points"], cached["vectors"], lam, plan
+                )
+            else:
+                Y = yukawa_field(queries, cached["points"], cached["vectors"], lam)
             Y.block_until_ready()
 
         if options.fast_integration:
@@ -262,9 +283,10 @@ class GridSolver:
             jnp.asarray(cached["coeffs8"], jnp.float32) ** 2 / diag_H[cached["nodes8"]], axis=1
         )
         N = grid.total_nodes
+        mg = multigrid.make_node_preconditioner(shape, grid.cell_size, dtype=jnp.float32)
 
         def precond(r):
-            return jnp.concatenate([r[:N] / diag_H, r[N:] / diag_S])
+            return jnp.concatenate([mg(r[:N]), r[N:] / diag_S])
 
         res = krylov.minres(
             matvec, rhs_f32, precond=precond, tol=options.solver_tol, maxiter=options.solver_maxiter

@@ -1,0 +1,87 @@
+"""ctypes binding for the native lattice mesher core (native/lattice_tet.cpp).
+
+Loads ``native/libshm3d_native.so`` when present (``make -C native``);
+``available()`` gates use, the NumPy implementation in mesher.py is the
+fallback and correctness oracle.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _lib():
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libshm3d_native.so")
+    path = os.path.abspath(path)
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.shm3d_lattice_build.restype = ctypes.c_void_p
+    lib.shm3d_lattice_build.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int,
+    ]
+    for name in ("nv", "nt", "nsnapped", "nsplit"):
+        fn = getattr(lib, f"shm3d_lattice_{name}")
+        fn.restype = ctypes.c_int64
+        fn.argtypes = [ctypes.c_void_p]
+    lib.shm3d_lattice_copy.restype = None
+    lib.shm3d_lattice_copy.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.shm3d_lattice_free.restype = None
+    lib.shm3d_lattice_free.argtypes = [ctypes.c_void_p]
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def lattice_build(src_points: np.ndarray, center: np.ndarray, half_side: float,
+                  resolution: int) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]]:
+    """Returns (vertices, tets, vertex_of, n_snapped, n_split) or None."""
+    lib = _lib()
+    if lib is None:
+        return None
+    pts = np.ascontiguousarray(src_points, dtype=np.float64)
+    V = pts.shape[0]
+    handle = lib.shm3d_lattice_build(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), V,
+        float(center[0]), float(center[1]), float(center[2]),
+        float(half_side), int(resolution),
+    )
+    if not handle:
+        return None
+    try:
+        nv = lib.shm3d_lattice_nv(handle)
+        nt = lib.shm3d_lattice_nt(handle)
+        vertices = np.empty((nv, 3), dtype=np.float64)
+        tets = np.empty((nt, 4), dtype=np.int64)
+        vertex_of = np.empty(V, dtype=np.int64)
+        lib.shm3d_lattice_copy(
+            handle,
+            vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            tets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            vertex_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        return (vertices, tets, vertex_of,
+                int(lib.shm3d_lattice_nsnapped(handle)), int(lib.shm3d_lattice_nsplit(handle)))
+    finally:
+        lib.shm3d_lattice_free(handle)

@@ -1,0 +1,378 @@
+"""TPU-native tet-domain solver: the device pipeline for tetrahedral meshes.
+
+End-to-end reimplementation of ``SignedHeatTetSolver``
+(/root/reference/src/signed_heat_tet_solver.cpp) as a JAX program over the
+Kuhn-lattice stuffing mesh (shm3d.tet.mesher):
+
+  host:   tet domain + FEM operator arrays                (NumPy, cached)
+  device: Yukawa convolution at tet barycenters -> normalize -> vertex
+          divergence (segment_sum) -> constrained solve    (jit)
+
+Because the stuffing mesh does not preserve surface faces, Step 3 always
+takes the reference's vertex/dual-Laplacian path — the same path the
+reference uses for polygon meshes, point clouds, and TetGen failures
+(signed_heat_tet_solver.cpp:24-33,319-397).  All three level-set-constraint
+modes are provided:
+
+- ZERO_SET: Dirichlet elimination on the source vertices (indices 0..V-1,
+  the vertex-index contract; reference :169-180,336-350) via masked CG on
+  the interior block of H = -L (positive definite there);
+- MULTIPLE: per-connected-component equality rows (+1 at the component root,
+  -1 at each member; reference DFS loop :183-210,353-381), solved as a KKT
+  saddle with MINRES;
+- NONE: singular Poisson solve (constants projected out of the Krylov
+  iteration; the particular solution is irrelevant because the source mean
+  shift :576-589 cancels the constant).
+
+Greedy ("fast") BFS integration :399-556 runs on host (sequential by
+nature; SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LevelSetConstraint, SignedHeatOptions
+from ..geometry import pointcloud as pc_geom
+from ..geometry import sources as src_mod
+from ..geometry import surface as surf
+from ..io.mesh_io import Mesh, PointCloud
+from ..ops.yukawa import yukawa_field
+from ..solve import krylov
+from ..utils import timing
+from . import fem
+from .mesher import TetMesh, build_tet_domain
+
+
+@dataclasses.dataclass
+class TetResult:
+    phi: np.ndarray          # (NV,) float64, per tet-mesh vertex
+    mesh: TetMesh
+    Y: Optional[np.ndarray] = None  # (NT, 3) normalized field at barycenters
+
+    def phi_at_sources(self) -> np.ndarray:
+        """phi sampled at the input source vertices (the reference returns
+        phi over all tet vertices with sources first; this is that prefix
+        resolved through the dedup map)."""
+        return self.phi[self.mesh.src_vertex]
+
+
+# ---------------------------------------------------------------------------
+# jitted stages
+
+
+@jax.jit
+def _laplacian_matvec(x, rows, cols, vals):
+    return jax.ops.segment_sum(vals * x[cols], rows, num_segments=x.shape[0])
+
+
+def _divergence(Y, div_rows, div_tets, div_gvec, n):
+    return jax.ops.segment_sum(
+        jnp.einsum("ij,ij->i", div_gvec, Y[div_tets]), div_rows, num_segments=n
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_src", "tol", "maxiter"))
+def _solve_zeroset(Y, rows, cols, vals, div_rows, div_tets, div_gvec, diagH,
+                   n: int, n_src: int, tol: float, maxiter: int):
+    """Dirichlet solve: phi = 0 on source vertices, H_II phi_I = -div_I."""
+    div = _divergence(Y, div_rows, div_tets, div_gvec, n)
+    mask = (jnp.arange(n) >= n_src).astype(Y.dtype)
+
+    def matvec(x):
+        return mask * -_laplacian_matvec(mask * x, rows, cols, vals)
+
+    precond = lambda r: r / diagH
+    res = krylov.cg(matvec, mask * -div, precond=precond, tol=tol, maxiter=maxiter)
+    return res.x * mask, res.iterations, res.residual
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tol", "maxiter"))
+def _solve_none(Y, rows, cols, vals, div_rows, div_tets, div_gvec, diagH,
+                n: int, tol: float, maxiter: int):
+    """Singular Poisson: H phi = -div with constants projected out."""
+    div = _divergence(Y, div_rows, div_tets, div_gvec, n)
+    b = -div
+    b = b - jnp.mean(b)
+
+    def matvec(x):
+        y = -_laplacian_matvec(x, rows, cols, vals)
+        return y - jnp.mean(y)
+
+    precond = lambda r: r / diagH
+    res = krylov.cg(matvec, b, precond=precond, tol=tol, maxiter=maxiter)
+    return res.x, res.iterations, res.residual
+
+
+@functools.partial(jax.jit, static_argnames=("n", "tol", "maxiter"))
+def _solve_multiple(Y, rows, cols, vals, div_rows, div_tets, div_gvec, diagH,
+                    comp_root, comp_member, n: int, tol: float, maxiter: int):
+    """KKT saddle [[H, A^T], [A, 0]] with A = equality-to-root rows.
+
+    Reference solves [[L, A^T], [A, 0]] [phi; mu] = [div; 0]
+    (:211-217); we use H = -L and negate the first block row."""
+    div = _divergence(Y, div_rows, div_tets, div_gvec, n)
+    m = comp_root.shape[0]
+
+    def matvec(x):
+        u, mu = x[:n], x[n:]
+        Hu = -_laplacian_matvec(u, rows, cols, vals)
+        At_mu = (
+            jnp.zeros(n, dtype=x.dtype)
+            .at[comp_root].add(mu)
+            .at[comp_member].add(-mu)
+        )
+        Au = u[comp_root] - u[comp_member]
+        return jnp.concatenate([Hu + At_mu, Au])
+
+    rhs = jnp.concatenate([-div, jnp.zeros(m, dtype=Y.dtype)])
+    diag_S = 1.0 / diagH[comp_root] + 1.0 / diagH[comp_member]
+
+    def precond(r):
+        return jnp.concatenate([r[:n] / diagH, r[n:] / diag_S])
+
+    res = krylov.minres(matvec, rhs, precond=precond, tol=tol, maxiter=maxiter)
+    return res.x[:n], res.iterations, res.residual
+
+
+# ---------------------------------------------------------------------------
+# host helpers
+
+
+def integrate_greedily_tet(mesh: TetMesh, Y: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """FIFO BFS line integration over the vertex->tet adjacency
+    (reference integrateGreedily, signed_heat_tet_solver.cpp:468-491):
+    phi[next] = phi[curr] + Y_tet . (v_next - v_curr)."""
+    import collections
+
+    NV = mesh.n_vertices
+    phi = np.zeros(NV)
+    visited = np.zeros(NV, dtype=bool)
+    visited[seeds] = True
+    queue = collections.deque(int(s) for s in seeds)
+    verts, tets = mesh.vertices, mesh.tets
+    indptr, data = mesh.vt_indptr, mesh.vt_data
+    while queue:
+        curr = queue.popleft()
+        p = verts[curr]
+        for tid in data[indptr[curr]:indptr[curr + 1]]:
+            for nb in tets[tid]:
+                if visited[nb]:
+                    continue
+                phi[nb] = phi[curr] + float(np.dot(Y[tid], verts[nb] - p))
+                visited[nb] = True
+                queue.append(int(nb))
+    return phi
+
+
+def _component_rows(labels: np.ndarray, src_vertex: np.ndarray):
+    """Reference Multiple-mode constraint rows: for each source vertex w
+    (per component, excluding the component's first vertex v0), a row
+    (+1 at v0, -1 at w) — equality of every member to the root
+    (signed_heat_tet_solver.cpp:183-210, the DFS emits exactly these)."""
+    roots, members = [], []
+    seen_root = {}
+    for idx in range(labels.shape[0]):
+        c = labels[idx]
+        mv = src_vertex[idx]
+        if c not in seen_root:
+            seen_root[c] = mv
+            continue
+        if mv == seen_root[c]:
+            continue  # dedup-merged vertex
+        roots.append(seen_root[c])
+        members.append(mv)
+    return np.asarray(roots, dtype=np.int64), np.asarray(members, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# solver
+
+
+class SignedHeatTetSolver:
+    """Stateful solver mirroring the reference caching contract
+    (operators rebuilt only when geometry/hCoef change, main.cpp:113,146-147)."""
+
+    def __init__(self):
+        self._cache = {}
+        self.last_stats = {}
+
+    def compute_distance(self, geom, options: SignedHeatOptions = SignedHeatOptions()) -> TetResult:
+        tm = timing.PhaseTimer(verbose=options.verbose)
+        dtype = jnp.dtype(options.dtype)
+        is_mesh = isinstance(geom, Mesh)
+
+        with tm.phase("tet precompute (mesh + operators)"):
+            sources = src_mod.from_geometry(geom)
+            key = (sources.content_hash(), options.cache_key())
+            cached = self._cache.get(key)
+            if cached is None:
+                cached = self._build(geom, sources, options, dtype)
+                self._cache[key] = cached
+        mesh: TetMesh = cached["mesh"]
+
+        lam = float(np.sqrt(1.0 / (options.t_coef * cached["spacing"] ** 2)))
+
+        with tm.phase("steps 1&2 (Yukawa at tet barycenters)"):
+            Y = yukawa_field(cached["barys"], cached["points"], cached["vectors"], lam)
+            Y.block_until_ready()
+
+        n = mesh.n_vertices
+        if options.fast_integration:
+            with tm.phase("step 3 (greedy BFS, host)"):
+                phi = self._greedy(mesh, np.asarray(Y, np.float64), geom, cached, options)
+        else:
+            with tm.phase("step 3 (divergence + constrained solve)"):
+                phi = self._integrate(Y, mesh, geom, cached, options, tm)
+
+        phi_host = np.asarray(phi, dtype=np.float64)
+        return TetResult(phi_host, mesh, np.asarray(Y, np.float64))
+
+    # -- internals
+
+    def _build(self, geom, sources, options, dtype):
+        is_mesh = isinstance(geom, Mesh)
+        if is_mesh:
+            src_pts = geom.vertices
+            mean_area = float(np.mean(sources.weights))
+            labels = surf.connected_components_vertices(geom)
+            dual_areas = surf.vertex_dual_areas(geom)
+        else:
+            src_pts = geom.positions
+            mean_area = float(np.mean(sources.weights))
+            labels = pc_geom.connected_components(geom.positions)
+            dual_areas = sources.weights
+        mesh = build_tet_domain(src_pts, options.scale, options.h_coef, mean_area=mean_area)
+        dual = fem.build_dual_laplacian(mesh)
+        diagH = -dual.to_scipy().diagonal()
+        diagH = np.where(diagH > 0, diagH, 1.0)
+        comp_root, comp_member = _component_rows(labels, mesh.src_vertex)
+        return dict(
+            mesh=mesh,
+            dual=dual,
+            spacing=mesh.mean_node_spacing(),
+            barys=jnp.asarray(mesh.barycenters(), dtype),
+            points=jnp.asarray(sources.points, dtype),
+            vectors=jnp.asarray(sources.vectors(), dtype),
+            rows=jnp.asarray(dual.rows, jnp.int32),
+            cols=jnp.asarray(dual.cols, jnp.int32),
+            vals=jnp.asarray(dual.vals, dtype),
+            div_rows=jnp.asarray(dual.div_rows, jnp.int32),
+            div_tets=jnp.asarray(dual.div_tets, jnp.int32),
+            div_gvec=jnp.asarray(dual.div_gvec, dtype),
+            diagH=jnp.asarray(diagH, dtype),
+            dual_areas=jnp.asarray(dual_areas, dtype),
+            comp_root=jnp.asarray(comp_root, jnp.int32),
+            comp_member=jnp.asarray(comp_member, jnp.int32),
+        )
+
+    def _integrate(self, Y, mesh, geom, cached, options, tm):
+        n = mesh.n_vertices
+        mode = options.level_set_constraint
+        args = (
+            Y, cached["rows"], cached["cols"], cached["vals"],
+            cached["div_rows"], cached["div_tets"], cached["div_gvec"], cached["diagH"],
+        )
+        if mode == LevelSetConstraint.ZERO_SET:
+            phi, iters, res = _solve_zeroset(
+                *args, n=n, n_src=mesh.n_src,
+                tol=options.solver_tol, maxiter=options.solver_maxiter,
+            )
+        elif mode == LevelSetConstraint.MULTIPLE:
+            phi, iters, res = _solve_multiple(
+                *args, comp_root=cached["comp_root"], comp_member=cached["comp_member"],
+                n=n, tol=options.solver_tol, maxiter=options.solver_maxiter,
+            )
+            phi = self._shift(phi, mesh, cached)
+        else:
+            phi, iters, res = _solve_none(
+                *args, n=n, tol=options.solver_tol, maxiter=options.solver_maxiter,
+            )
+            phi = self._shift(phi, mesh, cached)
+        tm.note(f"krylov iters={int(iters)} rel_res={float(res):.2e}")
+        self.last_stats = {"iters": int(iters), "residual": float(res)}
+        return phi
+
+    def _shift(self, phi, mesh, cached):
+        """Dual-area-weighted mean of phi over the source vertices
+        (averageVertexDataOnSource, signed_heat_tet_solver.cpp:576-604)."""
+        w = cached["dual_areas"]
+        vals = phi[jnp.asarray(mesh.src_vertex)]
+        return phi - jnp.sum(w * vals) / jnp.sum(w)
+
+    def _greedy(self, mesh, Y, geom, cached, options):
+        mode = options.level_set_constraint
+        if mode == LevelSetConstraint.ZERO_SET:
+            seeds = np.unique(mesh.src_vertex)
+            phi = integrate_greedily_tet(mesh, Y, seeds)
+        elif mode == LevelSetConstraint.MULTIPLE:
+            phi = self._greedy_multi(mesh, Y, cached)
+        else:
+            phi = integrate_greedily_tet(mesh, Y, np.array([0]))
+            phi = np.asarray(self._shift(jnp.asarray(phi, jnp.float64), mesh, cached))
+        return phi
+
+    def _greedy_multi(self, mesh: TetMesh, Y: np.ndarray, cached) -> np.ndarray:
+        """Reference integrateGreedilyMultipleLevelSets (:493-556): BFS from
+        vertex 0; the first time a component is reached its value is locked
+        and later member vertices copy it."""
+        import collections
+
+        comp_root = np.asarray(cached["comp_root"])
+        comp_member = np.asarray(cached["comp_member"])
+        NV = mesh.n_vertices
+        comp_of = np.full(NV, -1, dtype=np.int64)
+        # rebuild per-vertex component labels from the constraint rows
+        comp_of[np.asarray(mesh.src_vertex)] = 0  # provisional
+        labels = {}
+        nxt = 0
+        for r, m in zip(comp_root, comp_member):
+            if r not in labels:
+                labels[int(r)] = nxt = len(labels)
+            comp_of[int(m)] = labels[int(r)]
+            comp_of[int(r)] = labels[int(r)]
+        # any source vertex not in rows forms its own component
+        for v in np.asarray(mesh.src_vertex):
+            if comp_of[v] < 0 or (int(v) not in labels and comp_of[v] == 0):
+                pass
+        n_comp = max(len(labels), 1)
+        comp_value = np.zeros(n_comp)
+        comp_visited = np.zeros(n_comp, dtype=bool)
+
+        phi = np.zeros(NV)
+        visited = np.zeros(NV, dtype=bool)
+        visited[0] = True
+        if comp_of[0] >= 0:
+            comp_visited[comp_of[0]] = True
+        queue = collections.deque([0])
+        verts, tets = mesh.vertices, mesh.tets
+        indptr, data = mesh.vt_indptr, mesh.vt_data
+        V = mesh.n_src
+        while queue:
+            curr = queue.popleft()
+            p = verts[curr]
+            for tid in data[indptr[curr]:indptr[curr + 1]]:
+                for nb in tets[tid]:
+                    if visited[nb]:
+                        continue
+                    cb = comp_of[nb] if nb < V else -1
+                    if cb >= 0 and comp_visited[cb]:
+                        phi[nb] = comp_value[cb]
+                    else:
+                        phi[nb] = phi[curr] + float(np.dot(Y[tid], verts[nb] - p))
+                        if cb >= 0:
+                            comp_visited[cb] = True
+                            comp_value[cb] = phi[nb]
+                    visited[nb] = True
+                    queue.append(int(nb))
+        return phi
+
+
+def solve_tet(geom, options: SignedHeatOptions = SignedHeatOptions()) -> TetResult:
+    return SignedHeatTetSolver().compute_distance(geom, options)

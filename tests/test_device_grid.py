@@ -215,3 +215,79 @@ def test_operator_cache_reuse(icosphere):
     # hCoef change invalidates (new key), mirroring main.cpp:146-147
     solver.compute_distance(icosphere, opts.with_(h_coef=1.0))
     assert len(solver._cache) == 2
+
+
+# ---------------------------------------------------------------------------
+# multigrid
+
+
+def test_vcycle_reduces_poisson_residual():
+    from shm3d.solve import multigrid
+
+    g = griddom.GridSpec((0.0, 0.0, 0.0), 0.1, 16)
+    rng = np.random.default_rng(8)
+    b3 = jnp.asarray(rng.normal(size=g.shape))
+    b3 = b3 - jnp.mean(b3)  # range of the singular operator
+    u = multigrid.v_cycle(b3, g.cell_size)
+    r = b3 - (-stencil.laplacian_apply(u, g.cell_size))
+    r = r - jnp.mean(r)
+    assert float(jnp.linalg.norm(r)) < 0.35 * float(jnp.linalg.norm(b3))
+
+
+def test_vcycle_preconditioner_is_symmetric():
+    """SPD-ness requirement for MINRES: <x, M y> == <M x, y>."""
+    from shm3d.solve import multigrid
+
+    g = griddom.GridSpec((0.0, 0.0, 0.0), 0.2, 8)
+    mg = multigrid.make_node_preconditioner(g.shape, g.cell_size, dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.normal(size=g.total_nodes))
+    y = jnp.asarray(rng.normal(size=g.total_nodes))
+    lhs = float(jnp.vdot(x, mg(y)))
+    rhs = float(jnp.vdot(mg(x), y))
+    assert abs(lhs - rhs) < 1e-10 * max(abs(lhs), 1.0)
+
+
+def test_mg_minres_converges_fast(icosphere):
+    """With the MG preconditioner the KKT solve should converge in far fewer
+    iterations than unpreconditioned/Jacobi MINRES (which needed ~3000)."""
+    from shm3d.geometry import sources as src_mod
+    from shm3d.solvers import grid as gridsolver
+
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-10, refine_steps=0)
+    solver = gridsolver.GridSolver()
+    src = src_mod.from_mesh(icosphere)
+    res = solver.compute_distance(icosphere, opts)
+    # re-run the jitted stage to read the iteration count
+    cached = next(iter(solver._cache.values()))
+    import jax.numpy as jnp2
+
+    x, iters, resid = gridsolver._integrate_exact(
+        jnp2.asarray(res.Y), cached["nodes8"], cached["coeffs8"],
+        jnp2.asarray(res.grid.cell_size, jnp2.float64), res.grid.shape,
+        True, 1e-10, 10000,
+    )
+    # MG cuts the u-block; the multiplier (Schur) block remains diagonally
+    # preconditioned, so iterations are not yet mesh-independent (~850 at
+    # tol 1e-10 vs ~3000 with Jacobi).  A spectrally-correct Schur
+    # preconditioner is tracked as future work (SURVEY.md §7 hard part 1).
+    assert int(iters) < 1500, f"MG-MINRES took {int(iters)} iterations"
+
+
+def test_sparse_yukawa_in_solver_matches_dense(icosphere):
+    """cull_eps > 0 with the block-sparse plan must match the dense solve
+    (interpret-mode kernel on CPU; plan validated separately)."""
+    from shm3d.domains import grid as gd
+    from shm3d.geometry import sources as src_mod
+    from shm3d.ops import yukawa_sparse as ys
+
+    src = src_mod.from_mesh(icosphere)
+    g = gd.build_grid(icosphere.vertices, 2.0, 0.0)
+    lam = float(np.sqrt(1.0 / src.spacing ** 2))
+    q = jnp.asarray(g.node_positions())
+    dense = yukawa_field_xla(q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam)
+    plan = ys.build_plan(g, src.points, lam, 1e-8, s_block=64)
+    got = ys.yukawa_field_sparse(
+        q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam, plan, interpret=True
+    )
+    assert float(jnp.max(jnp.linalg.norm(got - dense, axis=1))) < 1e-10

@@ -1,0 +1,208 @@
+"""Tet-domain pipeline: mesher invariants, FEM operators, device vs oracle."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from shm3d.config import LevelSetConstraint, SignedHeatOptions
+from shm3d.oracle import tet_reference as tet_oracle
+from shm3d.tet import fem
+from shm3d.tet.mesher import build_tet_domain
+from shm3d.tet.solver import SignedHeatTetSolver
+
+from conftest import make_icosphere
+
+
+@pytest.fixture(scope="module")
+def ico_mesh():
+    return make_icosphere(2)
+
+
+@pytest.fixture(scope="module")
+def tet_domain(ico_mesh):
+    return build_tet_domain(ico_mesh.vertices, scale=2.0, h_coef=0.0, mean_area=0.05)
+
+
+# ---------------------------------------------------------------------------
+# mesher invariants
+
+
+def test_mesher_vertex_contract(tet_domain, ico_mesh):
+    tm = tet_domain
+    # exact source positions, source ids in the prefix
+    np.testing.assert_allclose(tm.vertices[tm.src_vertex], ico_mesh.vertices, atol=0)
+    assert (tm.src_vertex < tm.n_src).all()
+    assert tm.n_src <= ico_mesh.vertices.shape[0]
+
+
+def test_mesher_positive_volumes(tet_domain):
+    vols = tet_domain.tet_volumes()
+    assert (vols >= 0).all()
+    # at most a measure-zero handful of degenerate (exactly coplanar) tets
+    assert (vols <= 0).sum() <= 0.001 * tet_domain.n_tets + 2
+
+
+def test_mesher_face_structure(tet_domain):
+    tm = tet_domain
+    cnt = np.bincount(tm.tet_face.reshape(-1), minlength=tm.n_faces)
+    assert set(np.unique(cnt)) <= {1, 2}  # interior faces twice, boundary once
+    # interior faces: the two incident tets see opposite orientations
+    order = np.argsort(tm.tet_face.reshape(-1), kind="stable")
+    signs = tm.tet_face_sign.reshape(-1)[order]
+    fids = tm.tet_face.reshape(-1)[order]
+    pair_starts = np.searchsorted(fids, np.nonzero(cnt == 2)[0])
+    assert (signs[pair_starts] + signs[pair_starts + 1] == 0).all()
+
+
+def test_mesher_outward_orientation(tet_domain):
+    tm = tet_domain
+    v, t = tm.vertices, tm.tets
+    vols = tm.tet_volumes()
+    ok_t = vols > 1e-12 * vols.max()
+    fb = tm.face_barycenters()
+    for j in range(4):
+        f = tm.faces[tm.tet_face[:, j]]
+        a, b, c = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
+        n = 0.5 * np.cross(a - c, b - c) * tm.tet_face_sign[:, j][:, None]
+        d = fb[tm.tet_face[:, j]] - v[t[:, j]]
+        side = np.einsum("ij,ij->i", n, d)
+        assert (side[ok_t] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# FEM operators
+
+
+def test_dual_laplacian_structure(tet_domain):
+    dual = fem.build_dual_laplacian(tet_domain)
+    L = dual.to_scipy()
+    # symmetry and zero row sums
+    assert abs(L - L.T).max() < 1e-10
+    assert np.abs(L @ np.ones(L.shape[0])).max() < 1e-9
+    # negative semi-definite on the regular part: x^T L x <= 0 for smooth x
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=L.shape[0])
+    # (the stuffing mesh can have a few negative off-diagonal weights from
+    # slivers; the quadratic form on random vectors is still the solver-facing
+    # property that matters)
+    assert x @ (L @ x) < 0
+
+
+def test_dual_laplacian_regular_lattice_matches_fd():
+    """On an unsnapped Kuhn lattice the dual Laplacian of a linear function
+    vanishes (linear precision)."""
+    pts = np.array([[0.5, 0.5, 0.5], [-0.5, -0.25, -0.125]])
+    tm = build_tet_domain(pts, scale=1.0, h_coef=0.0, resolution=8)
+    dual = fem.build_dual_laplacian(tm)
+    for coef in ((1.0, 0, 0), (0.3, -0.7, 1.1)):
+        f = tm.vertices @ np.asarray(coef)
+        Lf = dual.matvec_np(f)
+        # interior vertices only (boundary rows see the domain cut)
+        interior = np.zeros(tm.n_vertices, dtype=bool)
+        interior[tm.tets.reshape(-1)] = True
+        bnd = np.unique(tm.faces[np.bincount(tm.tet_face.reshape(-1),
+                                             minlength=tm.n_faces) == 1])
+        interior[bnd] = False
+        assert np.abs(Lf[interior]).max() < 1e-9
+
+
+def test_divergence_is_adjoint_of_gradient(tet_domain):
+    """div entries satisfy: div(Y) . phi == sum_t Y_t . (sum_ij w_ij e_ij phi
+    terms) — check via the identity div = G^T with G the weighted gradient
+    implied by the same arrays."""
+    dual = fem.build_dual_laplacian(tet_domain)
+    rng = np.random.default_rng(1)
+    Y = rng.normal(size=(tet_domain.n_tets, 3))
+    phi = rng.normal(size=tet_domain.n_vertices)
+    lhs = float(phi @ dual.divergence_np(Y))
+    # G phi per tet: sum over entries with row r, tet t: gvec * phi[r]
+    G = np.zeros((tet_domain.n_tets, 3))
+    np.add.at(G, dual.div_tets, dual.div_gvec * phi[dual.div_rows][:, None])
+    rhs = float(np.sum(G * Y))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
+
+
+def test_cr_operators_structure(tet_domain):
+    cr = fem.build_cr_operators(tet_domain)
+    L = cr.L_scipy()
+    M = cr.M_scipy()
+    assert abs(L - L.T).max() < 1e-10
+    assert np.abs(L @ np.ones(L.shape[0])).max() < 1e-8
+    # CR mass row sums integrate 1 over the volume: total = sum vols
+    vols = np.abs(tet_domain.tet_volumes())
+    np.testing.assert_allclose(M.sum(), ((0.4 - 0.05 * 3) * 4 * vols).sum(), rtol=1e-10)
+
+
+# ---------------------------------------------------------------------------
+# device solver vs oracle
+
+
+@pytest.mark.parametrize("mode", [
+    LevelSetConstraint.ZERO_SET,
+    LevelSetConstraint.NONE,
+    LevelSetConstraint.MULTIPLE,
+])
+def test_tet_device_matches_oracle(mode, ico_mesh):
+    opts = SignedHeatOptions(
+        dtype="float64", level_set_constraint=mode,
+        solver_tol=1e-12, solver_maxiter=20000, refine_steps=0,
+    )
+    expected = tet_oracle.solve_tet(ico_mesh, opts)
+    got = SignedHeatTetSolver().compute_distance(ico_mesh, opts)
+    rel = np.linalg.norm(got.phi - expected.phi) / np.linalg.norm(expected.phi)
+    assert rel < 1e-6, f"mode={mode}: rel L2 {rel}"
+
+
+def test_tet_greedy_matches_oracle(ico_mesh):
+    opts = SignedHeatOptions(dtype="float64", fast_integration=True)
+    expected = tet_oracle.solve_tet(ico_mesh, opts)
+    got = SignedHeatTetSolver().compute_distance(ico_mesh, opts)
+    rel = np.linalg.norm(got.phi - expected.phi) / np.linalg.norm(expected.phi)
+    assert rel < 1e-10, f"rel L2 {rel}"
+
+
+def test_tet_point_cloud_path(ico_mesh):
+    from shm3d.io.mesh_io import PointCloud
+
+    v = ico_mesh.vertices
+    pc = PointCloud(v, v / np.linalg.norm(v, axis=1, keepdims=True))
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-12, solver_maxiter=20000)
+    expected = tet_oracle.solve_tet(pc, opts)
+    got = SignedHeatTetSolver().compute_distance(pc, opts)
+    rel = np.linalg.norm(got.phi - expected.phi) / np.linalg.norm(expected.phi)
+    assert rel < 1e-6, f"rel L2 {rel}"
+
+
+def test_tet_sdf_sign_structure(ico_mesh):
+    """Signed distance to the unit icosphere: negative at center region,
+    positive outside, zero-ish at source vertices."""
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-10, solver_maxiter=20000)
+    res = SignedHeatTetSolver().compute_distance(ico_mesh, opts)
+    tm = res.mesh
+    r = np.linalg.norm(tm.vertices, axis=1)
+    phi = res.phi
+    inside = phi[r < 0.5]
+    outside = phi[r > 1.5]
+    assert np.median(inside) < 0
+    assert np.median(outside) > 0
+    # zero on the source (Dirichlet pinned exactly)
+    assert np.abs(res.phi_at_sources()).max() < 1e-12
+
+
+def test_native_mesher_matches_python(ico_mesh):
+    """The C++ core and the NumPy implementation are the same algorithm and
+    must produce identical meshes."""
+    from shm3d.tet import native
+
+    if not native.available():
+        pytest.skip("native library not built (make -C native)")
+    tm_native = build_tet_domain(ico_mesh.vertices, 2.0, 0.0, mean_area=0.05)
+    saved = (native._LIB, native._TRIED)
+    try:
+        native._LIB, native._TRIED = None, True
+        tm_py = build_tet_domain(ico_mesh.vertices, 2.0, 0.0, mean_area=0.05)
+    finally:
+        native._LIB, native._TRIED = saved
+    np.testing.assert_array_equal(tm_native.vertices, tm_py.vertices)
+    np.testing.assert_array_equal(tm_native.tets, tm_py.tets)
+    np.testing.assert_array_equal(tm_native.src_vertex, tm_py.src_vertex)
