@@ -49,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-iso", metavar="PATH", help="write the zero isosurface as OBJ")
     p.add_argument("--isoval", type=float, default=0.0, help="isovalue for --export-iso")
     p.add_argument("--export-phi", metavar="PATH", help="write phi as .npy")
+    p.add_argument("--export-vtk", metavar="PATH",
+                   help="write the solved volume as legacy VTK (ParaView)")
     p.add_argument("--json", action="store_true", help="print a JSON summary line")
     return p
 
@@ -86,6 +88,14 @@ def main(argv=None) -> int:
 
     if args.export_phi:
         np.save(args.export_phi, phi)
+    if args.export_vtk:
+        from .io import volume_io
+
+        if args.grid:
+            volume_io.write_vtk_grid(args.export_vtk, result.grid, phi)
+        else:
+            volume_io.write_vtk_tet(args.export_vtk, result.mesh.vertices,
+                                    result.mesh.tets, phi)
     if args.export_iso:
         V, F = solver.isosurface(result, args.isoval)
         write_obj(args.export_iso, V, F)

@@ -100,3 +100,27 @@ def _greedy(mesh: TetMesh, Y: np.ndarray, options: SignedHeatOptions, dual_areas
         return integrate_greedily_tet(mesh, Y, np.unique(mesh.src_vertex))
     phi = integrate_greedily_tet(mesh, Y, np.array([0]))
     return phi - _shift(phi, mesh, dual_areas)
+
+
+def solve_cr_zeroset(mesh, surface_faces: np.ndarray, Y: np.ndarray, tol: float = 1e-12):
+    """Direct-solve oracle for the CR ZeroSet path
+    (integrateVectorFieldToFaces, signed_heat_tet_solver.cpp:234-317):
+    Dirichlet-eliminate surface faces on L_CR, L2-project to vertices,
+    return -phi."""
+    from ..tet import fem as fem_mod
+
+    cr = fem_mod.build_cr_operators(mesh)
+    L = cr.L_scipy()
+    div = cr.divergence_np(Y)
+    nf = cr.n_faces
+    keep = np.ones(nf, dtype=bool)
+    keep[surface_faces] = False
+    interior = np.nonzero(keep)[0]
+    phi_f = np.zeros(nf)
+    LII = L[interior][:, interior].tocsc()
+    phi_f[interior] = spla.splu(LII).solve(div[interior])
+    A = cr.A_scipy()
+    M = cr.M_scipy()
+    P = (A.T @ M @ A).tocsc()
+    w = spla.spsolve(P, A.T @ (M @ phi_f))
+    return w  # see CRPath.integrate: outward-normal divergence needs no flip

@@ -37,15 +37,21 @@ def cg(
     precond: Optional[Callable] = None,
     tol: float = 1e-8,
     maxiter: int = 1000,
+    rhs_mnorm=None,
 ) -> SolveResult:
-    """Preconditioned conjugate gradients for SPD ``matvec``."""
+    """Preconditioned conjugate gradients for SPD ``matvec``.
+
+    ``rhs_mnorm`` overrides the reference norm for the relative convergence
+    test — pass ||b||_M of the ORIGINAL system when warm-restarting in
+    chunks, otherwise each chunk would try to shrink its own residual by
+    ``tol`` and never terminate."""
     M = precond or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
     r0 = b - matvec(x0)
     z0 = M(r0)
     rz0 = jnp.vdot(r0, z0)
-    bnorm = jnp.sqrt(jnp.vdot(b, M(b)))
+    bnorm = jnp.sqrt(jnp.vdot(b, M(b))) if rhs_mnorm is None else rhs_mnorm
     threshold = tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
 
     def cond(state):
@@ -76,6 +82,7 @@ def minres(
     precond: Optional[Callable] = None,
     tol: float = 1e-8,
     maxiter: int = 2000,
+    rhs_mnorm=None,
 ) -> SolveResult:
     """Preconditioned MINRES (Paige & Saunders 1975) for symmetric
     (possibly indefinite) ``matvec`` with an SPD preconditioner.
@@ -92,7 +99,8 @@ def minres(
     r1 = b - matvec(x0)
     y = M(r1)
     beta1 = jnp.sqrt(jnp.abs(jnp.vdot(r1, y)))
-    threshold = tol * jnp.maximum(beta1, jnp.finfo(dtype).tiny)
+    ref = beta1 if rhs_mnorm is None else rhs_mnorm
+    threshold = tol * jnp.maximum(ref, jnp.finfo(dtype).tiny)
 
     class _S(NamedTuple):
         x: jnp.ndarray

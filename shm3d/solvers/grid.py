@@ -73,20 +73,25 @@ def _kkt_matvec(x, nodes8, coeffs8, cell_size, shape):
     return jnp.concatenate([Hu - At_mu, -Au])
 
 
-@functools.partial(jax.jit, static_argnames=("shape", "guard_nans", "tol", "maxiter"))
-def _integrate_exact(
-    Y, nodes8, coeffs8, cell_size, shape, guard_nans: bool, tol: float, maxiter: int, x0=None
-):
-    """divergence + NaN guard + MINRES KKT solve.  Returns (x, iters, res):
-    x = concat(u, mu); phi = -u."""
-    dtype = Y.dtype
+@functools.partial(jax.jit, static_argnames=("shape", "guard_nans"))
+def _kkt_rhs(Y, cell_size, shape, guard_nans: bool, m: int = 0):
+    """divergence + NaN guard -> KKT right-hand side [-div; 0]."""
     div = stencil.divergence_apply(Y.reshape(*shape, 3), cell_size).reshape(-1)
     if guard_nans:
         # mesh-on-grid path only (signed_heat_grid_solver.cpp:72-74)
         div = jnp.where(jnp.isfinite(div), div, 0.0)
-    N = div.shape[0]
+    return div
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "tol", "chunk"))
+def _kkt_minres_chunk(rhs, x0, nodes8, coeffs8, cell_size, shape, tol: float, chunk: int):
+    """One bounded MINRES chunk on the KKT saddle, warm-started from x0.
+    (Chunked because the TPU runtime kills minutes-long single programs;
+    see shm3d.tet.solver CHUNK_ITERS.)  ``rhs`` is the full (N + m,) vector.
+    """
+    dtype = rhs.dtype
     m = nodes8.shape[0]
-    rhs = jnp.concatenate([-div, jnp.zeros(m, dtype=dtype)])
+    N = rhs.shape[0] - m
 
     matvec = functools.partial(
         _kkt_matvec, nodes8=nodes8, coeffs8=coeffs8, cell_size=cell_size, shape=shape
@@ -101,8 +106,42 @@ def _integrate_exact(
     def precond(r):
         return jnp.concatenate([mg(r[:N]), r[N:] / diag_S])
 
-    res = krylov.minres(matvec, rhs, x0=x0, precond=precond, tol=tol, maxiter=maxiter)
+    rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(rhs, precond(rhs))))
+    res = krylov.minres(matvec, rhs, x0=x0, precond=precond, tol=tol, maxiter=chunk,
+                        rhs_mnorm=rhs_mnorm)
     return res.x, res.iterations, res.residual
+
+
+def _integrate_exact(
+    Y, nodes8, coeffs8, cell_size, shape, guard_nans: bool, tol: float, maxiter: int,
+    x0=None, chunk: Optional[int] = None,
+):
+    """divergence + NaN guard + chunked MINRES KKT solve.  Returns
+    (x, iters, res): x = concat(u, mu); phi = -u.
+
+    Chunking (restarts) only matters on TPU where the runtime kills
+    long-running programs; restarted MINRES converges more slowly, so on
+    other backends the solve runs as one unbounded chunk."""
+    if chunk is None:
+        chunk = 200 if jax.default_backend() == "tpu" else maxiter
+    div = _kkt_rhs(Y, cell_size, shape, guard_nans)
+    N = div.shape[0]
+    m = nodes8.shape[0]
+    rhs = jnp.concatenate([-div, jnp.zeros(m, dtype=div.dtype)])
+    x = jnp.zeros(N + m, dtype=div.dtype) if x0 is None else x0
+    total = 0
+    resid = jnp.asarray(0.0, div.dtype)
+    while True:
+        this = min(chunk, maxiter - total)
+        if this <= 0:
+            break
+        x, iters, resid = _kkt_minres_chunk(
+            rhs, x, nodes8, coeffs8, cell_size, shape, tol, this
+        )
+        total += int(iters)
+        if int(iters) < this:
+            break
+    return x, total, resid
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -270,28 +309,26 @@ class GridSolver:
         return jnp.asarray(x64, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
     def _correction_solve(self, rhs_f32, cached, grid, options):
+        """Chunked MINRES on the KKT operator with an arbitrary RHS (used by
+        the f64 defect correction; reuses the same preconditioner)."""
         shape = grid.shape
-        matvec = functools.partial(
-            _kkt_matvec,
-            nodes8=cached["nodes8"],
-            coeffs8=jnp.asarray(cached["coeffs8"], jnp.float32),
-            cell_size=jnp.float32(grid.cell_size),
-            shape=shape,
-        )
-        diag_H = -stencil.laplacian_diagonal(shape, grid.cell_size, dtype=jnp.float32).reshape(-1)
-        diag_S = jnp.sum(
-            jnp.asarray(cached["coeffs8"], jnp.float32) ** 2 / diag_H[cached["nodes8"]], axis=1
-        )
         N = grid.total_nodes
-        mg = multigrid.make_node_preconditioner(shape, grid.cell_size, dtype=jnp.float32)
-
-        def precond(r):
-            return jnp.concatenate([mg(r[:N]), r[N:] / diag_S])
-
-        res = krylov.minres(
-            matvec, rhs_f32, precond=precond, tol=options.solver_tol, maxiter=options.solver_maxiter
-        )
-        return res.x
+        nodes8 = cached["nodes8"]
+        coeffs8 = jnp.asarray(cached["coeffs8"], jnp.float32)
+        cell = jnp.float32(grid.cell_size)
+        x = jnp.zeros_like(rhs_f32)
+        total = 0
+        while True:
+            this = min(200, options.solver_maxiter - total)
+            if this <= 0:
+                break
+            x, iters, _ = _kkt_minres_chunk(
+                rhs_f32, x, nodes8, coeffs8, cell, shape, options.solver_tol, this
+            )
+            total += int(iters)
+            if int(iters) < this:
+                break
+        return x
 
     @staticmethod
     def _div64_np(Y64: np.ndarray, cell: float) -> np.ndarray:

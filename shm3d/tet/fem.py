@@ -69,7 +69,7 @@ def face_circumcenters(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarra
     return cc
 
 
-def _wedge_volumes(verts: np.ndarray, tets: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _wedge_volumes(verts: np.ndarray, tets: np.ndarray, clamp: bool = True) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Per tet and ordered pair (i, j): wedge volume, edge weight
     w = 6 vol / |vi - vj|^2, and the edge vector (vj - vi).
 
@@ -97,6 +97,25 @@ def _wedge_volumes(verts: np.ndarray, tets: np.ndarray) -> Tuple[np.ndarray, np.
     scale = np.maximum(tvol.max(), 1e-300)
     bad = tvol < 1e-14 * scale
     w[bad] = 0.0
+    if clamp:
+        # Sliver tets (split insertion near faces/edges of the stuffing
+        # lattice) produce huge negative dual weights that make H = -L lose
+        # definiteness and stall/diverge f32 Krylov solves.  Clamp weights to
+        # >= 0 ONLY in low-quality tets: the regular Kuhn lattice itself has
+        # benign small negative weights (degenerate-Delaunay) that are needed
+        # for linear precision, so a global clamp would bias the bulk
+        # discretization.  The reference never needs this because TetGen
+        # emits quality meshes.  Applied to the divergence weights too so the
+        # (L, div) pair stays consistent.
+        edges2 = np.zeros((tets.shape[0],))
+        for p1 in range(4):
+            for p2 in range(p1 + 1, 4):
+                e2 = np.sum((t[:, p1] - t[:, p2]) ** 2, axis=1)
+                edges2 = np.maximum(edges2, e2)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            quality = 6.0 * np.sqrt(2.0) * tvol / np.maximum(edges2, 1e-300) ** 1.5
+        sliver = quality < 0.02
+        w[sliver] = np.maximum(w[sliver], 0.0)
     return w, evec
 
 
@@ -130,10 +149,10 @@ class DualLaplacian:
         return out
 
 
-def build_dual_laplacian(mesh: TetMesh) -> DualLaplacian:
+def build_dual_laplacian(mesh: TetMesh, clamp: bool = True) -> DualLaplacian:
     verts, tets = mesh.vertices, mesh.tets
     NT, NV = tets.shape[0], verts.shape[0]
-    w, evec = _wedge_volumes(verts, tets)
+    w, evec = _wedge_volumes(verts, tets, clamp=clamp)
 
     vi = np.empty((NT, 12), dtype=np.int64)
     vj = np.empty((NT, 12), dtype=np.int64)
@@ -161,6 +180,9 @@ def build_dual_laplacian(mesh: TetMesh) -> DualLaplacian:
     div_rows = tets.reshape(-1)
     div_tets = np.repeat(np.arange(NT), 4)
     div_gvec = gvec_agg.reshape(-1, 3)
+    # sort by row so the device segment_sum can use indices_are_sorted
+    order = np.argsort(div_rows, kind="stable")
+    div_rows, div_tets, div_gvec = div_rows[order], div_tets[order], div_gvec[order]
     return DualLaplacian(
         rows=rfirst, cols=cfirst, vals=vsum, n=NV,
         div_rows=div_rows, div_tets=div_tets, div_gvec=div_gvec,

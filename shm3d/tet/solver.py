@@ -69,35 +69,53 @@ class TetResult:
 
 @jax.jit
 def _laplacian_matvec(x, rows, cols, vals):
-    return jax.ops.segment_sum(vals * x[cols], rows, num_segments=x.shape[0])
+    # rows are sorted by construction (fem._dedup) — lets XLA lower the
+    # scatter as a segmented reduction instead of serialized updates
+    return jax.ops.segment_sum(
+        vals * x[cols], rows, num_segments=x.shape[0], indices_are_sorted=True
+    )
 
 
 def _divergence(Y, div_rows, div_tets, div_gvec, n):
     return jax.ops.segment_sum(
-        jnp.einsum("ij,ij->i", div_gvec, Y[div_tets]), div_rows, num_segments=n
+        jnp.einsum("ij,ij->i", div_gvec, Y[div_tets]), div_rows,
+        num_segments=n, indices_are_sorted=True,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("n", "n_src", "tol", "maxiter"))
-def _solve_zeroset(Y, rows, cols, vals, div_rows, div_tets, div_gvec, diagH,
-                   n: int, n_src: int, tol: float, maxiter: int):
-    """Dirichlet solve: phi = 0 on source vertices, H_II phi_I = -div_I."""
-    div = _divergence(Y, div_rows, div_tets, div_gvec, n)
-    mask = (jnp.arange(n) >= n_src).astype(Y.dtype)
+# The Krylov solves run as bounded-iteration chunks warm-started from the
+# previous chunk, with convergence checked on host between chunks.  A single
+# unbounded while_loop at production sizes runs for minutes inside one XLA
+# program, which the TPU runtime's watchdog kills ("TPU worker process
+# crashed or restarted"); chunking bounds per-program runtime.
+CHUNK_ITERS = 400
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _divergence_jit(Y, div_rows, div_tets, div_gvec, n: int):
+    return _divergence(Y, div_rows, div_tets, div_gvec, n)
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_src", "tol", "chunk"))
+def _zeroset_chunk(div, x0, rows, cols, vals, diagH,
+                   n: int, n_src: int, tol: float, chunk: int):
+    """Dirichlet solve chunk: phi = 0 on source vertices, H_II phi_I = -div_I."""
+    mask = (jnp.arange(n) >= n_src).astype(div.dtype)
 
     def matvec(x):
         return mask * -_laplacian_matvec(mask * x, rows, cols, vals)
 
     precond = lambda r: r / diagH
-    res = krylov.cg(matvec, mask * -div, precond=precond, tol=tol, maxiter=maxiter)
+    b = mask * -div
+    rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
+    res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
+                    rhs_mnorm=rhs_mnorm)
     return res.x * mask, res.iterations, res.residual
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tol", "maxiter"))
-def _solve_none(Y, rows, cols, vals, div_rows, div_tets, div_gvec, diagH,
-                n: int, tol: float, maxiter: int):
-    """Singular Poisson: H phi = -div with constants projected out."""
-    div = _divergence(Y, div_rows, div_tets, div_gvec, n)
+@functools.partial(jax.jit, static_argnames=("n", "tol", "chunk"))
+def _none_chunk(div, x0, rows, cols, vals, diagH, n: int, tol: float, chunk: int):
+    """Singular Poisson chunk: H phi = -div with constants projected out."""
     b = -div
     b = b - jnp.mean(b)
 
@@ -106,18 +124,19 @@ def _solve_none(Y, rows, cols, vals, div_rows, div_tets, div_gvec, diagH,
         return y - jnp.mean(y)
 
     precond = lambda r: r / diagH
-    res = krylov.cg(matvec, b, precond=precond, tol=tol, maxiter=maxiter)
+    rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
+    res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
+                    rhs_mnorm=rhs_mnorm)
     return res.x, res.iterations, res.residual
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tol", "maxiter"))
-def _solve_multiple(Y, rows, cols, vals, div_rows, div_tets, div_gvec, diagH,
-                    comp_root, comp_member, n: int, tol: float, maxiter: int):
-    """KKT saddle [[H, A^T], [A, 0]] with A = equality-to-root rows.
+@functools.partial(jax.jit, static_argnames=("n", "tol", "chunk"))
+def _multiple_chunk(div, x0, rows, cols, vals, diagH, comp_root, comp_member,
+                    n: int, tol: float, chunk: int):
+    """KKT saddle chunk [[H, A^T], [A, 0]] with A = equality-to-root rows.
 
     Reference solves [[L, A^T], [A, 0]] [phi; mu] = [div; 0]
     (:211-217); we use H = -L and negate the first block row."""
-    div = _divergence(Y, div_rows, div_tets, div_gvec, n)
     m = comp_root.shape[0]
 
     def matvec(x):
@@ -131,14 +150,36 @@ def _solve_multiple(Y, rows, cols, vals, div_rows, div_tets, div_gvec, diagH,
         Au = u[comp_root] - u[comp_member]
         return jnp.concatenate([Hu + At_mu, Au])
 
-    rhs = jnp.concatenate([-div, jnp.zeros(m, dtype=Y.dtype)])
+    rhs = jnp.concatenate([-div, jnp.zeros(m, dtype=div.dtype)])
     diag_S = 1.0 / diagH[comp_root] + 1.0 / diagH[comp_member]
 
     def precond(r):
         return jnp.concatenate([r[:n] / diagH, r[n:] / diag_S])
 
-    res = krylov.minres(matvec, rhs, precond=precond, tol=tol, maxiter=maxiter)
-    return res.x[:n], res.iterations, res.residual
+    rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(rhs, precond(rhs))))
+    res = krylov.minres(matvec, rhs, x0=x0, precond=precond, tol=tol, maxiter=chunk,
+                        rhs_mnorm=rhs_mnorm)
+    return res.x, res.iterations, res.residual
+
+
+def _run_chunked(chunk_fn, x0, tol: float, maxiter: int, chunk: Optional[int] = None):
+    """Host loop: run bounded Krylov chunks until converged or maxiter.
+    chunk_fn(x0, chunk) -> (x, iters, residual); residual is the solver's
+    preconditioned-norm estimate, already compared against tol internally.
+    Chunked only on TPU (watchdog); elsewhere one unbounded chunk."""
+    if chunk is None:
+        chunk = CHUNK_ITERS if jax.default_backend() == "tpu" else maxiter
+    total = 0
+    x = x0
+    while True:
+        this = min(chunk, maxiter - total)
+        if this <= 0:
+            break
+        x, iters, resid = chunk_fn(x, this)
+        total += int(iters)
+        if int(iters) < this:  # converged (or broke down) inside the chunk
+            break
+    return x, total, resid
 
 
 # ---------------------------------------------------------------------------
@@ -227,6 +268,17 @@ class SignedHeatTetSolver:
         if options.fast_integration:
             with tm.phase("step 3 (greedy BFS, host)"):
                 phi = self._greedy(mesh, np.asarray(Y, np.float64), geom, cached, options)
+        elif options.use_crouzeix_raviart and cached.get("cr_path") is not None:
+            # reference default for conforming triangle meshes
+            # (integrateVectorFieldToFaces; gate at src/main.cpp:142-144).
+            # The stuffing mesher is non-conforming, so this activates only
+            # when the lattice happens to contain every source face.
+            with tm.phase("step 3 (Crouzeix-Raviart face solve)"):
+                phi = cached["cr_path"].integrate(
+                    Y, options,
+                    src_face_components=cached.get("cr_face_components"),
+                    src_face_areas=cached.get("cr_face_areas"),
+                )
         else:
             with tm.phase("step 3 (divergence + constrained solve)"):
                 phi = self._integrate(Y, mesh, geom, cached, options, tm)
@@ -238,11 +290,19 @@ class SignedHeatTetSolver:
 
     def _build(self, geom, sources, options, dtype):
         is_mesh = isinstance(geom, Mesh)
-        if is_mesh:
+        if is_mesh and geom.is_triangular:
             src_pts = geom.vertices
             mean_area = float(np.mean(sources.weights))
             labels = surf.connected_components_vertices(geom)
             dual_areas = surf.vertex_dual_areas(geom)
+        elif is_mesh:
+            # polygon mesh: the reference wraps the vertices as a point cloud
+            # (non-conforming fallback, signed_heat_tet_solver.cpp:24-33) and
+            # takes tufted vertex dual areas (:81-86)
+            src_pts = geom.vertices
+            mean_area = float(np.mean(sources.weights))
+            labels = surf.connected_components_vertices(geom)
+            dual_areas = pc_geom.point_dual_areas(geom.vertices)
         else:
             src_pts = geom.positions
             mean_area = float(np.mean(sources.weights))
@@ -250,11 +310,27 @@ class SignedHeatTetSolver:
             dual_areas = sources.weights
         mesh = build_tet_domain(src_pts, options.scale, options.h_coef, mean_area=mean_area)
         dual = fem.build_dual_laplacian(mesh)
+        # conforming? (triangle meshes only; the stuffing mesher rarely is,
+        # but external/lattice-aligned meshes activate the reference's
+        # default Crouzeix-Raviart face path)
+        cr_path = cr_face_components = cr_face_areas = None
+        if is_mesh and geom.is_triangular:
+            from .cr_solver import CRPath, find_surface_faces
+
+            src_faces_global = mesh.src_vertex[geom.triangles()]
+            surf_ids = find_surface_faces(mesh, src_faces_global)
+            if surf_ids is not None:
+                cr_path = CRPath(mesh, surf_ids, dtype=dtype)
+                cr_face_components = surf.connected_components_faces(geom)
+                cr_face_areas = sources.weights
         diagH = -dual.to_scipy().diagonal()
         diagH = np.where(diagH > 0, diagH, 1.0)
         comp_root, comp_member = _component_rows(labels, mesh.src_vertex)
         return dict(
             mesh=mesh,
+            cr_path=cr_path,
+            cr_face_components=cr_face_components,
+            cr_face_areas=cr_face_areas,
             dual=dual,
             spacing=mesh.mean_node_spacing(),
             barys=jnp.asarray(mesh.barycenters(), dtype),
@@ -275,25 +351,25 @@ class SignedHeatTetSolver:
     def _integrate(self, Y, mesh, geom, cached, options, tm):
         n = mesh.n_vertices
         mode = options.level_set_constraint
-        args = (
-            Y, cached["rows"], cached["cols"], cached["vals"],
-            cached["div_rows"], cached["div_tets"], cached["div_gvec"], cached["diagH"],
+        tol, maxiter = options.solver_tol, options.solver_maxiter
+        div = _divergence_jit(
+            Y, cached["div_rows"], cached["div_tets"], cached["div_gvec"], n
         )
+        op = (cached["rows"], cached["cols"], cached["vals"], cached["diagH"])
         if mode == LevelSetConstraint.ZERO_SET:
-            phi, iters, res = _solve_zeroset(
-                *args, n=n, n_src=mesh.n_src,
-                tol=options.solver_tol, maxiter=options.solver_maxiter,
-            )
+            fn = lambda x0, c: _zeroset_chunk(
+                div, x0, *op, n=n, n_src=mesh.n_src, tol=tol, chunk=c)
+            phi, iters, res = _run_chunked(fn, jnp.zeros(n, div.dtype), tol, maxiter)
         elif mode == LevelSetConstraint.MULTIPLE:
-            phi, iters, res = _solve_multiple(
-                *args, comp_root=cached["comp_root"], comp_member=cached["comp_member"],
-                n=n, tol=options.solver_tol, maxiter=options.solver_maxiter,
-            )
-            phi = self._shift(phi, mesh, cached)
+            m = cached["comp_root"].shape[0]
+            fn = lambda x0, c: _multiple_chunk(
+                div, x0, *op, cached["comp_root"], cached["comp_member"],
+                n=n, tol=tol, chunk=c)
+            x, iters, res = _run_chunked(fn, jnp.zeros(n + m, div.dtype), tol, maxiter)
+            phi = self._shift(x[:n], mesh, cached)
         else:
-            phi, iters, res = _solve_none(
-                *args, n=n, tol=options.solver_tol, maxiter=options.solver_maxiter,
-            )
+            fn = lambda x0, c: _none_chunk(div, x0, *op, n=n, tol=tol, chunk=c)
+            phi, iters, res = _run_chunked(fn, jnp.zeros(n, div.dtype), tol, maxiter)
             phi = self._shift(phi, mesh, cached)
         tm.note(f"krylov iters={int(iters)} rel_res={float(res):.2e}")
         self.last_stats = {"iters": int(iters), "residual": float(res)}

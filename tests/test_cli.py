@@ -31,3 +31,25 @@ def test_cli_grid_solve_and_export(tmp_path):
     assert np.isfinite(v).all()
     text = iso.read_text()
     assert text.startswith("v ") or "\nv " in text
+
+
+def test_vtk_exports(tmp_path):
+    """VTK volume writers produce parseable legacy files."""
+    import numpy as np
+
+    from shm3d.domains.grid import GridSpec
+    from shm3d.io import volume_io
+
+    g = GridSpec((0.0, 0.0, 0.0), 0.5, 4)
+    phi = np.arange(64, dtype=np.float64)
+    path = tmp_path / "vol.vtk"
+    volume_io.write_vtk_grid(str(path), g, phi)
+    text = path.read_text()
+    assert "STRUCTURED_POINTS" in text and "DIMENSIONS 4 4 4" in text
+
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1.0]])
+    tets = np.array([[0, 1, 2, 3]])
+    path2 = tmp_path / "tet.vtk"
+    volume_io.write_vtk_tet(str(path2), verts, tets, np.array([0.0, 1, 2, 3]))
+    t2 = path2.read_text()
+    assert "UNSTRUCTURED_GRID" in t2 and "CELL_TYPES 1" in t2

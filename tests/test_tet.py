@@ -206,3 +206,23 @@ def test_native_mesher_matches_python(ico_mesh):
     np.testing.assert_array_equal(tm_native.vertices, tm_py.vertices)
     np.testing.assert_array_equal(tm_native.tets, tm_py.tets)
     np.testing.assert_array_equal(tm_native.src_vertex, tm_py.src_vertex)
+
+
+def test_tet_polygon_mesh_fallback():
+    """Polygon meshes route through the reference's vertex fallback path
+    (vertices as point cloud, signed_heat_tet_solver.cpp:24-33)."""
+    from shm3d.io.mesh_io import Mesh
+
+    # a cube with quad faces
+    v = np.array([[i, j, k] for k in (0., 1) for j in (0., 1) for i in (0., 1)])
+    quads = [[0, 2, 3, 1], [4, 5, 7, 6], [0, 1, 5, 4], [2, 6, 7, 3],
+             [0, 4, 6, 2], [1, 3, 7, 5]]  # outward orientation
+    mesh = Mesh.from_face_lists(v, quads)
+    assert not mesh.is_triangular
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-10)
+    res = SignedHeatTetSolver().compute_distance(mesh, opts)
+    assert np.isfinite(res.phi).all()
+    assert np.abs(res.phi_at_sources()).max() < 1e-12  # Dirichlet pinned
+    center = np.linalg.norm(res.mesh.vertices - 0.5, axis=1)
+    assert np.median(res.phi[center < 0.25]) < 0
+    assert np.median(res.phi[center > 1.2]) > 0
