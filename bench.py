@@ -45,6 +45,7 @@ def main():
         refine_steps=0,
         solver_tol=1e-6,
         solver_maxiter=20000,
+        cull_eps=1e-6,  # block-sparse Step 1 (rigorous relative bound)
     )
     solver = GridSolver()
 

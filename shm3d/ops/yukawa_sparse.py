@@ -182,6 +182,82 @@ def build_plan(
     )
 
 
+def build_plan_points(
+    queries: np.ndarray,
+    src_points: np.ndarray,
+    lam: float,
+    cull_eps: float,
+    s_block: int = 512,
+    tau_margin: float = 5.0,
+) -> CullingPlan:
+    """Culling plan for an arbitrary query point set (tet barycenters):
+    queries are Morton-sorted and chunked into bricks of BRICK^3 points with
+    data-dependent bboxes; everything else matches ``build_plan``.  Queries
+    are padded (by repeating the last point) to a brick multiple; the padded
+    slots are sliced away by yukawa_field_sparse via qinv covering only the
+    original N entries."""
+    from scipy.spatial import cKDTree
+
+    queries = np.asarray(queries, dtype=np.float64)
+    N = queries.shape[0]
+    bs = BRICK ** 3
+    lo = queries.min(axis=0)
+    span = np.maximum(queries.max(axis=0) - lo, 1e-30)
+    cells = np.clip((1023 * (queries - lo) / span).astype(np.int64), 0, 1023)
+    qorder = np.argsort(_morton3(cells), kind="stable")
+    Np = -(-N // bs) * bs
+    qperm = np.concatenate([qorder, np.full(Np - N, qorder[-1], dtype=np.int64)])
+    qinv = np.empty(N, dtype=np.int64)
+    qinv[qorder] = np.arange(N)
+
+    qb = queries[qperm].reshape(-1, bs, 3)
+    blo = qb.min(axis=1)
+    bhi = qb.max(axis=1)
+    centers = 0.5 * (blo + bhi)
+    brick_rad = np.linalg.norm(qb - centers[:, None, :], axis=2).max(axis=1)
+
+    S = src_points.shape[0]
+    scells = np.clip((1023 * (src_points - lo) / span).astype(np.int64), 0, 1023)
+    src_perm = np.argsort(_morton3(scells), kind="stable")
+    pts = src_points[src_perm]
+    n_blocks = -(-S // s_block)
+    pad = n_blocks * s_block - S
+    pts_pad = np.concatenate([pts, np.full((pad, 3), _FAR)], axis=0) if pad else pts
+    pb = pts_pad.reshape(n_blocks, s_block, 3)
+    slo = np.minimum.reduce(np.where(pb < _FAR / 2, pb, np.inf), axis=1)
+    shi = np.maximum.reduce(np.where(pb < _FAR / 2, pb, -np.inf), axis=1)
+
+    d = _box_min_dist(blo[:, None, :], bhi[:, None, :], slo[None, :, :], shi[None, :, :])
+    if cull_eps > 0:
+        tau = np.log(1.0 / cull_eps) + tau_margin
+        nn = cKDTree(src_points).query(centers, k=1)[0]
+        u = (nn + brick_rad)[:, None]
+        keep = lam * (d - u) <= tau
+    else:
+        keep = np.ones_like(d, dtype=bool)
+
+    pair_brick, pair_block = np.nonzero(keep)
+    P = pair_brick.shape[0]
+    first = np.zeros(P, dtype=np.int32)
+    last = np.zeros(P, dtype=np.int32)
+    change = np.diff(pair_brick)
+    first[0] = 1
+    first[1:][change != 0] = 1
+    last[-1] = 1
+    last[:-1][change != 0] = 1
+    return CullingPlan(
+        qperm=qperm.astype(np.int32),
+        qinv=qinv.astype(np.int32),
+        src_perm=src_perm.astype(np.int32),
+        s_block=s_block,
+        n_blocks=n_blocks,
+        pair_brick=pair_brick.astype(np.int32),
+        pair_block=pair_block.astype(np.int32),
+        pair_flags=(first | (last << 1)).astype(np.int32),
+        kept_fraction=float(P) / float(d.size),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Pallas kernel
 

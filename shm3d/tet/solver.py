@@ -261,7 +261,24 @@ class SignedHeatTetSolver:
         lam = float(np.sqrt(1.0 / (options.t_coef * cached["spacing"] ** 2)))
 
         with tm.phase("steps 1&2 (Yukawa at tet barycenters)"):
-            Y = yukawa_field(cached["barys"], cached["points"], cached["vectors"], lam)
+            use_sparse = options.cull_eps > 0 and jax.default_backend() == "tpu"
+            if use_sparse:
+                from ..ops import yukawa_sparse
+
+                plan_key = ("cull_plan", lam, options.cull_eps)
+                plan = cached.get(plan_key)
+                if plan is None:
+                    plan = yukawa_sparse.build_plan_points(
+                        mesh.barycenters(), np.asarray(cached["points"], np.float64),
+                        lam, options.cull_eps,
+                    )
+                    cached[plan_key] = plan
+                tm.note(f"culling kept {plan.kept_fraction:.1%} of source blocks")
+                Y = yukawa_sparse.yukawa_field_sparse(
+                    cached["barys"], cached["points"], cached["vectors"], lam, plan
+                )
+            else:
+                Y = yukawa_field(cached["barys"], cached["points"], cached["vectors"], lam)
             Y.block_until_ready()
 
         n = mesh.n_vertices

@@ -291,3 +291,23 @@ def test_sparse_yukawa_in_solver_matches_dense(icosphere):
         q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam, plan, interpret=True
     )
     assert float(jnp.max(jnp.linalg.norm(got - dense, axis=1))) < 1e-10
+
+
+def test_sparse_yukawa_point_queries_matches_dense(icosphere):
+    """Generic (Morton-bricked) culling plan on scattered queries."""
+    from shm3d.geometry import sources as src_mod
+    from shm3d.ops import yukawa_sparse as ys
+
+    src = src_mod.from_mesh(icosphere)
+    rng = np.random.default_rng(21)
+    q = rng.uniform(-2, 2, size=(1700, 3))  # non-multiple of 512: pad path
+    lam = 9.0
+    dense = yukawa_field_xla(
+        jnp.asarray(q), jnp.asarray(src.points), jnp.asarray(src.vectors()), lam)
+    plan = ys.build_plan_points(q, src.points, lam, 1e-9, s_block=64)
+    got = ys.yukawa_field_sparse(
+        jnp.asarray(q), jnp.asarray(src.points), jnp.asarray(src.vectors()), lam,
+        plan, interpret=True)
+    assert got.shape == (1700, 3)
+    err = float(jnp.max(jnp.linalg.norm(got - dense, axis=1)))
+    assert err < 1e-8, err
