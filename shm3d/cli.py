@@ -45,7 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="level-set constraint mode (tet domain; the grid domain "
                         "always soft-pins the zero set, like the reference)")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
-    p.add_argument("--tol", type=float, default=1e-8, help="iterative solver tolerance")
+    p.add_argument("--tol", type=float, default=None,
+                   help="iterative solver tolerance (default: dtype-aware, "
+                        "1e-5 for float32 / 1e-10 for float64)")
     p.add_argument("--export-iso", metavar="PATH", help="write the zero isosurface as OBJ")
     p.add_argument("--isoval", type=float, default=0.0, help="isovalue for --export-iso")
     p.add_argument("--export-phi", metavar="PATH", help="write phi as .npy")

@@ -60,17 +60,35 @@ class SignedHeatOptions:
     # Iterative solver controls (device path). The reference uses direct
     # sparse factorization (CHOLMOD/LU via geometry-central); the TPU path
     # uses matrix-free CG/MINRES with multigrid preconditioning (SURVEY.md §7).
-    solver_tol: float = 1e-8
+    # solver_tol=None resolves per dtype (see resolved_solver_tol): float32
+    # Krylov solves hit a roundoff floor well above f64-meaningful tolerances,
+    # so a fixed tight default would burn maxiter on TPU.
+    solver_tol: Optional[float] = None
     solver_maxiter: int = 10000
+    # Grid Step-3 algorithm: "projected_cg" (null-space method: MG-PCG on
+    # P H P u = P b — converges in tens of iterations at any grid size) or
+    # "minres_kkt" (block-preconditioned MINRES on the saddle; retained for
+    # comparison, not mesh-independent).
+    solver_method: str = "projected_cg"
     # Iterative refinement: after an f32 solve, compute the residual in f64 on
-    # host/device and correct. Gives near-f64 accuracy at f32 speed.
+    # host/device and correct. Gives near-f64 accuracy at f32 speed. Skipped
+    # when the f64 relative residual is already below refine_target.
     refine_steps: int = 1
+    refine_target: float = 1e-9
     # Verbose per-phase timing (reference: VERBOSE stderr diagnostics,
     # /root/reference/src/main.cpp:76-101).
     verbose: bool = False
 
     def with_(self, **kwargs) -> "SignedHeatOptions":
         return dataclasses.replace(self, **kwargs)
+
+    def resolved_solver_tol(self, dtype_name: Optional[str] = None) -> float:
+        """Dtype-aware solver tolerance: float32 Krylov residuals stall near
+        their roundoff floor (~1e-5 with MG-PCG), so the default tolerance
+        must not chase f64 accuracy on an f32 device path."""
+        if self.solver_tol is not None:
+            return self.solver_tol
+        return 1e-5 if (dtype_name or self.dtype) == "float32" else 1e-10
 
     def cache_key(self) -> tuple:
         """Key over the options that affect the cached discretization /

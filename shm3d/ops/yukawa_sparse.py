@@ -31,7 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -42,6 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 from .yukawa import _BIG, _FAR
 
 BRICK = 8  # nodes per axis per query brick (8^3 = 512 = one tile)
+
+# TPU SMEM is 1 MiB and must hold ALL scalar-prefetched operands of a
+# pallas_call.  Each pair costs 3 int32 entries (brick, block, flags) = 12 B;
+# cap a single call's pair list well under the budget and split longer plans
+# into multiple calls (round 1 shipped an unchecked single call and crashed
+# compilation at 128^3 with a ~280k-entry pair list: "Allocation would exceed
+# memory, space=smem").
+SMEM_PAIR_CAP = 49152  # 12 B * 49152 = 576 KiB of SMEM per call
 
 
 # ---------------------------------------------------------------------------
@@ -61,10 +69,77 @@ class CullingPlan:
     pair_block: np.ndarray   # (P,) source block id per pair
     pair_flags: np.ndarray   # (P,) bit0 = first pair of brick, bit1 = last
     kept_fraction: float     # retained share of the dense pair grid
+    _seg_cache: Optional[tuple] = None  # (cap, segments, nb_cap)
 
     @property
     def n_pairs(self) -> int:
         return int(self.pair_brick.shape[0])
+
+    def fits_smem(self, cap: int = SMEM_PAIR_CAP) -> bool:
+        """True when the whole pair list fits one pallas_call's SMEM."""
+        return self.n_pairs <= cap
+
+    def segments(self, cap: int = SMEM_PAIR_CAP):
+        """Split the brick-sorted pair list into runs of <= cap pairs at
+        brick boundaries (a brick's accumulator lives in per-call scratch, so
+        its whole run must stay within one call).  Each segment is padded to
+        exactly ``cap`` pairs with no-op entries (flags=0 repeats of the last
+        pair, accumulated after the brick's output was already written) so
+        every call shares one compiled program.  Returns (segments, nb_cap):
+        segments are dicts with keys br_lo/nb/brick/block/flags, nb_cap is
+        the fixed per-call brick count."""
+        if self._seg_cache is not None and self._seg_cache[0] == cap:
+            return self._seg_cache[1], self._seg_cache[2]
+        ranges = _split_at_brick_boundaries(self.pair_brick, cap)
+        segs = []
+        for a, b in ranges:
+            br = self.pair_brick[a:b]
+            bl = self.pair_block[a:b]
+            fl = self.pair_flags[a:b]
+            br_lo = int(br[0])
+            nb = int(br[-1]) - br_lo + 1
+            pad = cap - (b - a)
+            segs.append(
+                dict(
+                    br_lo=br_lo,
+                    nb=nb,
+                    brick=np.concatenate(
+                        [br - br_lo, np.full(pad, br[-1] - br_lo, np.int32)]
+                    ).astype(np.int32),
+                    block=np.concatenate([bl, np.full(pad, bl[-1], np.int32)]).astype(np.int32),
+                    flags=np.concatenate([fl, np.zeros(pad, np.int32)]).astype(np.int32),
+                )
+            )
+        nb_cap = max(s["nb"] for s in segs)
+        self._seg_cache = (cap, segs, nb_cap)
+        return segs, nb_cap
+
+
+def _split_at_brick_boundaries(pair_brick: np.ndarray, cap: int):
+    """(start, end) ranges of <= cap pairs, never splitting a brick's run."""
+    P = pair_brick.shape[0]
+    run_starts = np.flatnonzero(
+        np.concatenate([[True], pair_brick[1:] != pair_brick[:-1]])
+    ).tolist() + [P]
+    ranges = []
+    seg_start = 0
+    for i in range(len(run_starts) - 1):
+        run_begin, run_end = run_starts[i], run_starts[i + 1]
+        if run_end - seg_start > cap:
+            if run_begin == seg_start:
+                raise ValueError(
+                    f"one query brick interacts with {run_end - run_begin} source "
+                    f"blocks > SMEM pair cap {cap}; use the dense kernel"
+                )
+            ranges.append((seg_start, run_begin))
+            seg_start = run_begin
+            if run_end - seg_start > cap:
+                raise ValueError(
+                    f"one query brick interacts with {run_end - run_begin} source "
+                    f"blocks > SMEM pair cap {cap}; use the dense kernel"
+                )
+    ranges.append((seg_start, P))
+    return ranges
 
 
 def _morton3(cells: np.ndarray, bits: int = 10) -> np.ndarray:
@@ -340,6 +415,51 @@ def _sparse_call(
     )(pair_brick, pair_block, pair_flags, lam_arr, q_sorted, sp_t, sv_t)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("pair_cap", "nb_cap", "s_block", "normalize", "interpret"),
+)
+def _sparse_call_segment(
+    pair_brick, pair_block, pair_flags, start_row, lam_arr, q_sorted_pad, sp_t, sv_t,
+    pair_cap: int, nb_cap: int, s_block: int, normalize: bool, interpret: bool,
+):
+    """One fixed-geometry segment call: pair arrays are padded to pair_cap
+    (brick ids RELATIVE to the segment's first brick), the query window of
+    nb_cap bricks starting at ``start_row`` is sliced on device.  All
+    segments share this one compiled program."""
+    bs = BRICK ** 3
+    q_seg = jax.lax.dynamic_slice(
+        q_sorted_pad, (start_row, jnp.zeros((), start_row.dtype)), (nb_cap * bs, 3)
+    )
+    kernel = functools.partial(_sparse_kernel, normalize=normalize)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(pair_cap,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lam
+            pl.BlockSpec((bs, 3), lambda p, br, bl, fl: (br[p], 0)),
+            pl.BlockSpec((3, s_block), lambda p, br, bl, fl: (0, bl[p])),
+            pl.BlockSpec((3, s_block), lambda p, br, bl, fl: (0, bl[p])),
+        ],
+        out_specs=pl.BlockSpec((bs, 3), lambda p, br, bl, fl: (br[p], 0)),
+        scratch_shapes=[
+            pltpu.VMEM((bs, 1), q_sorted_pad.dtype),
+            pltpu.VMEM((bs, 3), q_sorted_pad.dtype),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb_cap * bs, 3), q_sorted_pad.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * pair_cap * bs * s_block,
+            bytes_accessed=4 * pair_cap * (bs * 3 + s_block * 6),
+            transcendentals=2 * pair_cap * bs * s_block,
+        ),
+        interpret=interpret,
+    )(pair_brick, pair_block, pair_flags, lam_arr, q_seg, sp_t, sv_t)
+
+
 def yukawa_field_sparse(
     queries: jnp.ndarray,
     src_points: jnp.ndarray,
@@ -348,12 +468,14 @@ def yukawa_field_sparse(
     plan: CullingPlan,
     normalize: bool = True,
     interpret: bool = False,
+    pair_cap: int = SMEM_PAIR_CAP,
 ) -> jnp.ndarray:
     """Culled Yukawa field on grid-node queries in reference flat ordering.
 
     ``queries`` must be the full (N, 3) grid-node array matching the plan's
     grid; sources are the unsorted (S, 3) arrays (the plan's Morton
-    permutation and padding are applied here).
+    permutation and padding are applied here).  Plans whose pair list exceeds
+    the SMEM budget are executed as multiple fixed-geometry segment calls.
     """
     dtype = queries.dtype if interpret else jnp.float32
     q_sorted = queries.astype(dtype)[jnp.asarray(plan.qperm)]
@@ -364,18 +486,46 @@ def yukawa_field_sparse(
     if pad:
         pts = jnp.pad(pts, ((0, pad), (0, 0)), constant_values=_FAR)
         vecs = jnp.pad(vecs, ((0, pad), (0, 0)))
-    out_sorted = _sparse_call(
-        jnp.asarray(plan.pair_brick),
-        jnp.asarray(plan.pair_block),
-        jnp.asarray(plan.pair_flags),
-        jnp.asarray([lam], dtype),
-        q_sorted,
-        pts.T,
-        vecs.T,
-        n_pairs=plan.n_pairs,
-        num_bricks=plan.qperm.shape[0] // BRICK ** 3,
-        s_block=plan.s_block,
-        normalize=normalize,
-        interpret=interpret,
-    )
+    lam_arr = jnp.asarray([lam], dtype)
+    bs = BRICK ** 3
+
+    if plan.fits_smem(pair_cap):
+        out_sorted = _sparse_call(
+            jnp.asarray(plan.pair_brick),
+            jnp.asarray(plan.pair_block),
+            jnp.asarray(plan.pair_flags),
+            lam_arr,
+            q_sorted,
+            pts.T,
+            vecs.T,
+            n_pairs=plan.n_pairs,
+            num_bricks=plan.qperm.shape[0] // bs,
+            s_block=plan.s_block,
+            normalize=normalize,
+            interpret=interpret,
+        )
+        return out_sorted[jnp.asarray(plan.qinv)]
+
+    segs, nb_cap = plan.segments(pair_cap)
+    q_pad = jnp.pad(q_sorted, ((0, nb_cap * bs), (0, 0)))
+    sp_t, sv_t = pts.T, vecs.T
+    outs = []
+    for seg in segs:
+        o = _sparse_call_segment(
+            jnp.asarray(seg["brick"]),
+            jnp.asarray(seg["block"]),
+            jnp.asarray(seg["flags"]),
+            jnp.asarray(seg["br_lo"] * bs, jnp.int32),
+            lam_arr,
+            q_pad,
+            sp_t,
+            sv_t,
+            pair_cap=pair_cap,
+            nb_cap=nb_cap,
+            s_block=plan.s_block,
+            normalize=normalize,
+            interpret=interpret,
+        )
+        outs.append(o[: seg["nb"] * bs])
+    out_sorted = jnp.concatenate(outs, axis=0)
     return out_sorted[jnp.asarray(plan.qinv)]

@@ -5,13 +5,22 @@ End-to-end reimplementation of ``SignedHeatGridSolver``
 
   host:   sources + grid spec + trilinear constraint rows   (NumPy, cached)
   device: Pallas Yukawa convolution -> normalize -> adjoint divergence ->
-          MINRES KKT solve -> mean shift                    (one jit chain)
+          projected MG-PCG solve -> mean shift               (one jit chain)
 
 The always-on soft zero-set pinning (KKT [[L, A^T],[A, 0]], phi = -u,
-signed_heat_grid_solver.cpp:77-109) is solved matrix-free with preconditioned
-MINRES in the symmetrized form [[-L, -A^T], [-A, 0]] [u; mu] = [-div; 0].
-Optional float64 iterative refinement recovers near-f64 accuracy from f32
-device solves.
+signed_heat_grid_solver.cpp:77-109) is solved matrix-free with the
+*null-space method* (shm3d.solve.projection): multigrid-preconditioned CG on
+the SPD projected system P H P u = P b, P = I - A^T (A A^T)^{-1} A, H = -L.
+This replaces both the reference's direct LU on the saddle and round 1's
+MINRES-with-diagonal-Schur (which needed thousands of iterations and did not
+converge at 128^3); the projected solve is mesh-size robust because MG
+preconditions the full SPD block and the constraint Gram matrix A A^T is
+local and mass-matrix conditioned.  A MINRES-on-KKT path is retained behind
+``options.solver_method`` for comparison.
+
+Optional float64 defect correction recovers near-f64 accuracy from f32
+device solves (skipped automatically when the f64 residual already meets the
+refine target).
 
 Operator caching: discretization artifacts are cached keyed on
 (geometry hash, hCoef, scale, dtype), replacing the reference's ``rebuild``
@@ -35,7 +44,7 @@ from ..io.mesh_io import Mesh, PointCloud
 from ..ops import stencil
 from ..ops import yukawa_sparse
 from ..ops.yukawa import yukawa_field
-from ..solve import krylov, multigrid
+from ..solve import krylov, multigrid, projection
 from ..utils import timing
 
 
@@ -61,21 +70,9 @@ def _node_positions_device(bbox_min, cell_size, n: int, dtype):
     return pos + jnp.asarray(bbox_min, dtype=dtype)[None, :]
 
 
-def _kkt_matvec(x, nodes8, coeffs8, cell_size, shape):
-    """[[-L, -A^T], [-A, 0]] applied to x = concat(u, mu)."""
-    N = shape[0] * shape[1] * shape[2]
-    u, mu = x[:N], x[N:]
-    Hu = -stencil.laplacian_apply(u.reshape(shape), cell_size).reshape(-1)
-    At_mu = jnp.zeros(N, dtype=x.dtype).at[nodes8.reshape(-1)].add(
-        (coeffs8 * mu[:, None]).reshape(-1)
-    )
-    Au = jnp.sum(u[nodes8] * coeffs8, axis=1)
-    return jnp.concatenate([Hu - At_mu, -Au])
-
-
 @functools.partial(jax.jit, static_argnames=("shape", "guard_nans"))
-def _kkt_rhs(Y, cell_size, shape, guard_nans: bool, m: int = 0):
-    """divergence + NaN guard -> KKT right-hand side [-div; 0]."""
+def _rhs_div(Y, cell_size, shape, guard_nans: bool):
+    """Adjoint divergence of the normalized field (+ NaN guard)."""
     div = stencil.divergence_apply(Y.reshape(*shape, 3), cell_size).reshape(-1)
     if guard_nans:
         # mesh-on-grid path only (signed_heat_grid_solver.cpp:72-74)
@@ -84,11 +81,81 @@ def _kkt_rhs(Y, cell_size, shape, guard_nans: bool, m: int = 0):
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "tol", "chunk"))
+def _pinned_pcg_chunk(b, x0, nodes8, coeffs8, gram, cell_size, shape, tol: float, chunk: int):
+    """One bounded chunk of projected MG-PCG on P H P u = P b, warm-started
+    from x0.  (Chunked because the TPU runtime kills minutes-long single
+    programs; see shm3d.tet.solver CHUNK_ITERS.)  ``b`` is the (N,) primal
+    right-hand side; iterates live in ker(A)."""
+    dtype = b.dtype
+    N = b.shape[0]
+    proj = projection.make_projector(nodes8, coeffs8, gram, N)
+    mg = multigrid.make_node_preconditioner(shape, cell_size, dtype=dtype)
+
+    def matvec(u):
+        # u stays in ker(A) along the Krylov recurrence, so P H P u = P (H u).
+        return proj(-stencil.laplacian_apply(u.reshape(shape), cell_size).reshape(-1))
+
+    def precond(r):
+        return proj(mg(r))
+
+    Pb = proj(b)
+    rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(Pb, precond(Pb))))
+    res = krylov.cg(matvec, Pb, x0=x0, precond=precond, tol=tol, maxiter=chunk,
+                    rhs_mnorm=rhs_mnorm)
+    return res.x, res.iterations, res.residual
+
+
+def _solve_pinned(
+    b, nodes8, coeffs8, gram, cell_size, shape, tol: float, maxiter: int,
+    x0=None, chunk: Optional[int] = None,
+):
+    """Chunked projected MG-PCG.  Returns (u, iters, resid) with u in ker(A);
+    phi = -u (signed_heat_grid_solver.cpp:108).
+
+    Chunking (warm restarts) only matters on TPU where the runtime kills
+    long-running programs; on other backends the solve runs in larger chunks.
+    A chunk that fails to shrink the preconditioned residual marks a stall
+    (dtype roundoff floor) and stops early instead of burning maxiter."""
+    if chunk is None:
+        chunk = 200 if jax.default_backend() == "tpu" else min(maxiter, 500)
+    u = jnp.zeros_like(b) if x0 is None else x0
+    total = 0
+    resid = jnp.asarray(jnp.inf, b.dtype)
+    while True:
+        this = min(chunk, maxiter - total)
+        if this <= 0:
+            break
+        prev = float(resid)
+        u, iters, resid = _pinned_pcg_chunk(
+            b, u, nodes8, coeffs8, gram, cell_size, shape, tol, this
+        )
+        total += int(iters)
+        if int(iters) < this:
+            break
+        if float(resid) >= prev * 0.99:  # stalled at the dtype roundoff floor
+            break
+    return u, total, resid
+
+
+# --- legacy MINRES-on-KKT path (options.solver_method == "minres_kkt") ----
+
+
+def _kkt_matvec(x, nodes8, coeffs8, cell_size, shape):
+    """[[-L, -A^T], [-A, 0]] applied to x = concat(u, mu)."""
+    N = shape[0] * shape[1] * shape[2]
+    u, mu = x[:N], x[N:]
+    Hu = -stencil.laplacian_apply(u.reshape(shape), cell_size).reshape(-1)
+    At_mu = projection.at_apply(mu, nodes8, coeffs8, N)
+    Au = projection.a_apply(u, nodes8, coeffs8)
+    return jnp.concatenate([Hu - At_mu, -Au])
+
+
+@functools.partial(jax.jit, static_argnames=("shape", "tol", "chunk"))
 def _kkt_minres_chunk(rhs, x0, nodes8, coeffs8, cell_size, shape, tol: float, chunk: int):
     """One bounded MINRES chunk on the KKT saddle, warm-started from x0.
-    (Chunked because the TPU runtime kills minutes-long single programs;
-    see shm3d.tet.solver CHUNK_ITERS.)  ``rhs`` is the full (N + m,) vector.
-    """
+    Block-diagonal preconditioner: MG V-cycle for the u-block, diagonal Schur
+    estimate for the multipliers.  Retained for comparison; the projected
+    solver above converges orders of magnitude faster at scale."""
     dtype = rhs.dtype
     m = nodes8.shape[0]
     N = rhs.shape[0] - m
@@ -96,9 +163,6 @@ def _kkt_minres_chunk(rhs, x0, nodes8, coeffs8, cell_size, shape, tol: float, ch
     matvec = functools.partial(
         _kkt_matvec, nodes8=nodes8, coeffs8=coeffs8, cell_size=cell_size, shape=shape
     )
-    # Block-diagonal preconditioner: symmetric multigrid V-cycle for the
-    # u-block H = -L, diagonal Schur estimate diag(A diag(H)^-1 A^T) for the
-    # multipliers (the direct-factorization replacement, SURVEY.md §7).
     diag_H = -stencil.laplacian_diagonal(shape, cell_size, dtype=dtype).reshape(-1)
     diag_S = jnp.sum(coeffs8 * coeffs8 / diag_H[nodes8], axis=1)
     mg = multigrid.make_node_preconditioner(shape, cell_size, dtype=dtype)
@@ -112,25 +176,14 @@ def _kkt_minres_chunk(rhs, x0, nodes8, coeffs8, cell_size, shape, tol: float, ch
     return res.x, res.iterations, res.residual
 
 
-def _integrate_exact(
-    Y, nodes8, coeffs8, cell_size, shape, guard_nans: bool, tol: float, maxiter: int,
-    x0=None, chunk: Optional[int] = None,
-):
-    """divergence + NaN guard + chunked MINRES KKT solve.  Returns
-    (x, iters, res): x = concat(u, mu); phi = -u.
-
-    Chunking (restarts) only matters on TPU where the runtime kills
-    long-running programs; restarted MINRES converges more slowly, so on
-    other backends the solve runs as one unbounded chunk."""
+def _solve_kkt_minres(b, nodes8, coeffs8, cell_size, shape, tol, maxiter, chunk=None):
     if chunk is None:
         chunk = 200 if jax.default_backend() == "tpu" else maxiter
-    div = _kkt_rhs(Y, cell_size, shape, guard_nans)
-    N = div.shape[0]
     m = nodes8.shape[0]
-    rhs = jnp.concatenate([-div, jnp.zeros(m, dtype=div.dtype)])
-    x = jnp.zeros(N + m, dtype=div.dtype) if x0 is None else x0
+    rhs = jnp.concatenate([b, jnp.zeros(m, dtype=b.dtype)])
+    x = jnp.zeros_like(rhs)
     total = 0
-    resid = jnp.asarray(0.0, div.dtype)
+    resid = jnp.asarray(0.0, b.dtype)
     while True:
         this = min(chunk, maxiter - total)
         if this <= 0:
@@ -141,7 +194,27 @@ def _integrate_exact(
         total += int(iters)
         if int(iters) < this:
             break
-    return x, total, resid
+    N = b.shape[0]
+    return x[:N], total, resid
+
+
+def _integrate_exact(
+    Y, nodes8, coeffs8, cell_size, shape, guard_nans: bool, tol: float, maxiter: int,
+    method: str = "projected_cg", gram=None, x0=None, chunk: Optional[int] = None,
+):
+    """divergence + NaN guard + constrained Poisson solve.  Returns
+    (u, iters, resid) with u the (N,) primal solution; phi = -u."""
+    div = _rhs_div(Y, cell_size, shape, guard_nans)
+    b = -div
+    if method == "minres_kkt":
+        return _solve_kkt_minres(b, nodes8, coeffs8, cell_size, shape, tol, maxiter,
+                                 chunk=chunk)
+    if gram is None:
+        gram = projection.build_gram_table(
+            np.asarray(nodes8), np.asarray(coeffs8, np.float64), b.shape[0], b.dtype
+        )
+    return _solve_pinned(b, nodes8, coeffs8, gram, cell_size, shape, tol, maxiter,
+                         x0=x0, chunk=chunk)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -154,7 +227,7 @@ def _mean_shift(phi, src_nodes8, src_coeffs8, weights):
 
 
 # ---------------------------------------------------------------------------
-# float64 residual for iterative refinement (host NumPy mirror of the
+# float64 residual for defect correction (host NumPy mirror of the
 # device operators; adjointness/mirroring identical by construction)
 
 
@@ -174,16 +247,6 @@ def _laplacian_apply_np(u3: np.ndarray, cell: float) -> np.ndarray:
     return acc / (cell * cell)
 
 
-def _kkt_residual_np(x, rhs, nodes8, coeffs8, cell, shape):
-    N = shape[0] * shape[1] * shape[2]
-    u, mu = x[:N], x[N:]
-    Hu = -_laplacian_apply_np(u.reshape(shape), cell).reshape(-1)
-    At_mu = np.zeros(N)
-    np.add.at(At_mu, nodes8.reshape(-1), (coeffs8 * mu[:, None]).reshape(-1))
-    Au = (u[nodes8] * coeffs8).sum(axis=1)
-    return rhs - np.concatenate([Hu - At_mu, -Au])
-
-
 # ---------------------------------------------------------------------------
 # solver with operator caching
 
@@ -198,6 +261,7 @@ class GridSolver:
         tm = timing.PhaseTimer(verbose=options.verbose)
         is_mesh = isinstance(geom, Mesh)
         dtype = jnp.dtype(options.dtype)
+        tol = options.resolved_solver_tol()
 
         with tm.phase("precompute (sources + grid + constraints)"):
             sources = self._sources(geom)
@@ -212,6 +276,9 @@ class GridSolver:
                     grid=grid,
                     nodes8=jnp.asarray(nodes8, jnp.int32),
                     coeffs8=jnp.asarray(coeffs8, dtype),
+                    gram=projection.build_gram_table(
+                        nodes8, coeffs8, grid.total_nodes, dtype
+                    ),
                     src_nodes8=jnp.asarray(src_nodes8, jnp.int32),
                     src_coeffs8=jnp.asarray(src_coeffs8, dtype),
                     points=jnp.asarray(sources.points, dtype),
@@ -242,6 +309,9 @@ class GridSolver:
                     )
                     cached[plan_key] = plan
                 tm.note(f"culling kept {plan.kept_fraction:.1%} of source blocks")
+                if not plan.fits_smem():
+                    n_seg = len(plan.segments()[0])
+                    tm.note(f"pair list split into {n_seg} SMEM-sized segments")
                 Y = yukawa_sparse.yukawa_field_sparse(
                     queries, cached["points"], cached["vectors"], lam, plan
                 )
@@ -256,25 +326,26 @@ class GridSolver:
                 phi_np = integrate_greedily_grid(grid, np.asarray(Y, dtype=np.float64))
                 phi = jnp.asarray(phi_np, dtype)
         else:
-            with tm.phase("step 3 (divergence + MINRES KKT solve)"):
-                x, iters, resid = _integrate_exact(
+            with tm.phase("step 3 (divergence + projected MG-PCG solve)"):
+                u, iters, resid = _integrate_exact(
                     Y,
                     cached["nodes8"],
                     cached["coeffs8"],
                     jnp.asarray(grid.cell_size, dtype),
                     grid.shape,
                     is_mesh,
-                    options.solver_tol,
+                    tol,
                     options.solver_maxiter,
+                    method=options.solver_method,
+                    gram=cached["gram"],
                 )
-                x.block_until_ready()
-                tm.note(f"MINRES iters={int(iters)} rel_res={float(resid):.2e}")
+                u.block_until_ready()
+                tm.note(f"{options.solver_method} iters={int(iters)} rel_res={float(resid):.2e}")
 
             if options.refine_steps > 0 and dtype == jnp.float32:
-                with tm.phase("float64 iterative refinement"):
-                    x = self._refine(x, Y, cached, grid, is_mesh, options)
-            N = grid.total_nodes
-            phi = -x[:N]
+                with tm.phase("float64 defect correction"):
+                    u = self._refine(u, Y, cached, grid, is_mesh, options, tm)
+            phi = -u
 
         with tm.phase("mean shift along source"):
             phi = _mean_shift(phi, cached["src_nodes8"], cached["src_coeffs8"], cached["weights"])
@@ -282,53 +353,66 @@ class GridSolver:
         phi_host = np.asarray(phi, dtype=np.float64)
         return GridResult(phi_host, grid, np.asarray(Y, dtype=np.float64))
 
-    def _refine(self, x, Y, cached, grid, is_mesh, options):
-        """f64 defect correction around the f32 device solve."""
+    def _refine(self, u, Y, cached, grid, is_mesh, options, tm=None):
+        """f64 defect correction around the f32 device solve.
+
+        Computes the exact f64 residual of the projected system (host, using
+        a cached splu factorization of the constraint Gram matrix), skips
+        entirely when the f32 solve already meets ``options.refine_target``,
+        and otherwise re-solves the scaled defect on device."""
         shape = grid.shape
         N = grid.total_nodes
         nodes8 = np.asarray(cached["nodes8"])
         coeffs8 = np.asarray(cached["coeffs8"], dtype=np.float64)
+        host = cached.get("host_gram")
+        if host is None:
+            host = projection.host_gram_factor(nodes8, coeffs8, N)
+            cached["host_gram"] = host
+        A, gram_lu = host
+
         Y64 = np.asarray(Y, dtype=np.float64).reshape(*shape, 3)
-        # f64 divergence via the same adjoint structure (numpy gradient mirror)
         div64 = np.asarray(
             stencil.divergence_apply(jnp.asarray(Y64), jnp.float64(grid.cell_size))
         ).reshape(-1) if jax.config.jax_enable_x64 else self._div64_np(Y64, grid.cell_size)
         if is_mesh:
             div64 = np.where(np.isfinite(div64), div64, 0.0)
-        rhs64 = np.concatenate([-div64, np.zeros(nodes8.shape[0])])
-        x64 = np.asarray(x, dtype=np.float64)
+        b64 = -div64
+        bnorm = np.linalg.norm(projection.host_project(b64, A, gram_lu))
+
+        u64 = np.asarray(u, dtype=np.float64)
+        # restore A u = 0 exactly before measuring the defect
+        u64 = projection.host_project(u64, A, gram_lu)
         for _ in range(options.refine_steps):
-            r = _kkt_residual_np(x64, rhs64, nodes8, coeffs8, grid.cell_size, shape)
-            scale = np.abs(r).max()
-            if scale == 0 or not np.isfinite(scale):
+            Hu = -_laplacian_apply_np(u64.reshape(shape), grid.cell_size).reshape(-1)
+            r = projection.host_project(b64 - Hu, A, gram_lu)
+            rel = np.linalg.norm(r) / max(bnorm, np.finfo(np.float64).tiny)
+            if not np.isfinite(rel) or rel <= options.refine_target:
+                if tm is not None:
+                    tm.note(f"refine skipped/stopped at rel_res={rel:.2e}")
                 break
+            scale = np.abs(r).max()
             # correction solve in f32 on device on the scaled residual
             rr = jnp.asarray((r / scale), jnp.float32)
             dx = self._correction_solve(rr, cached, grid, options)
-            x64 = x64 + scale * np.asarray(dx, dtype=np.float64)
-        return jnp.asarray(x64, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+            u64 = u64 + scale * np.asarray(dx, dtype=np.float64)
+            u64 = projection.host_project(u64, A, gram_lu)
+        return jnp.asarray(u64, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
     def _correction_solve(self, rhs_f32, cached, grid, options):
-        """Chunked MINRES on the KKT operator with an arbitrary RHS (used by
-        the f64 defect correction; reuses the same preconditioner)."""
-        shape = grid.shape
-        N = grid.total_nodes
-        nodes8 = cached["nodes8"]
-        coeffs8 = jnp.asarray(cached["coeffs8"], jnp.float32)
-        cell = jnp.float32(grid.cell_size)
-        x = jnp.zeros_like(rhs_f32)
-        total = 0
-        while True:
-            this = min(200, options.solver_maxiter - total)
-            if this <= 0:
-                break
-            x, iters, _ = _kkt_minres_chunk(
-                rhs_f32, x, nodes8, coeffs8, cell, shape, options.solver_tol, this
-            )
-            total += int(iters)
-            if int(iters) < this:
-                break
-        return x
+        """Projected MG-PCG on the defect (same operator, arbitrary RHS).
+        Only called from _refine, i.e. when the solve dtype is float32, so
+        the cached arrays are already f32."""
+        u, _, _ = _solve_pinned(
+            rhs_f32,
+            cached["nodes8"],
+            cached["coeffs8"],
+            cached["gram"],
+            jnp.float32(grid.cell_size),
+            grid.shape,
+            options.resolved_solver_tol("float32"),
+            options.solver_maxiter,
+        )
+        return u
 
     @staticmethod
     def _div64_np(Y64: np.ndarray, cell: float) -> np.ndarray:

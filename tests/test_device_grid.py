@@ -248,30 +248,48 @@ def test_vcycle_preconditioner_is_symmetric():
     assert abs(lhs - rhs) < 1e-10 * max(abs(lhs), 1.0)
 
 
-def test_mg_minres_converges_fast(icosphere):
-    """With the MG preconditioner the KKT solve should converge in far fewer
-    iterations than unpreconditioned/Jacobi MINRES (which needed ~3000)."""
-    from shm3d.geometry import sources as src_mod
+def _step3_iterations(geom, h_coef: float, method: str, tol=1e-10):
+    """Solve end-to-end, then re-run the jitted Step-3 stage to read the
+    iteration count for the given method."""
     from shm3d.solvers import grid as gridsolver
 
-    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-10, refine_steps=0)
+    opts = SignedHeatOptions(dtype="float64", solver_tol=tol, refine_steps=0,
+                             h_coef=h_coef, solver_method=method)
     solver = gridsolver.GridSolver()
-    src = src_mod.from_mesh(icosphere)
-    res = solver.compute_distance(icosphere, opts)
-    # re-run the jitted stage to read the iteration count
+    res = solver.compute_distance(geom, opts)
     cached = next(iter(solver._cache.values()))
-    import jax.numpy as jnp2
-
-    x, iters, resid = gridsolver._integrate_exact(
-        jnp2.asarray(res.Y), cached["nodes8"], cached["coeffs8"],
-        jnp2.asarray(res.grid.cell_size, jnp2.float64), res.grid.shape,
-        True, 1e-10, 10000,
+    u, iters, resid = gridsolver._integrate_exact(
+        jnp.asarray(res.Y), cached["nodes8"], cached["coeffs8"],
+        jnp.asarray(res.grid.cell_size, jnp.float64), res.grid.shape,
+        True, tol, 10000, method=method,
     )
-    # MG cuts the u-block; the multiplier (Schur) block remains diagonally
-    # preconditioned, so iterations are not yet mesh-independent (~850 at
-    # tol 1e-10 vs ~3000 with Jacobi).  A spectrally-correct Schur
-    # preconditioner is tracked as future work (SURVEY.md §7 hard part 1).
-    assert int(iters) < 1500, f"MG-MINRES took {int(iters)} iterations"
+    return int(iters), float(resid), res
+
+
+def test_projected_cg_converges_fast(icosphere):
+    """The null-space method (projected MG-PCG) replaces round 1's
+    MINRES-with-diagonal-Schur, which needed ~850-3955 iterations at 16^3 and
+    did not converge at 128^3 (VERDICT.md).  The projected system P H P is
+    SPD with a full MG preconditioner, so tens of iterations suffice."""
+    iters, _, _ = _step3_iterations(icosphere, 0.0, "projected_cg")
+    assert iters < 150, f"projected CG took {iters} iterations"
+
+
+def test_projected_cg_iterations_mesh_independent(icosphere):
+    """Iteration growth from 16^3 to 32^3 must be mild (the MG-preconditioned
+    projected solve is near mesh-independent, unlike the diagonal-Schur
+    MINRES whose counts grew superlinearly with n)."""
+    it16, _, _ = _step3_iterations(icosphere, 0.0, "projected_cg")
+    it32, _, _ = _step3_iterations(icosphere, 1.0, "projected_cg")
+    assert it32 < 2.5 * max(it16, 10), f"16^3: {it16} iters, 32^3: {it32} iters"
+
+
+def test_projected_cg_matches_kkt_minres(icosphere):
+    """Both Step-3 methods solve the same constrained Poisson problem."""
+    _, _, res_pcg = _step3_iterations(icosphere, 0.0, "projected_cg")
+    _, _, res_kkt = _step3_iterations(icosphere, 0.0, "minres_kkt")
+    rel = np.linalg.norm(res_pcg.phi - res_kkt.phi) / np.linalg.norm(res_kkt.phi)
+    assert rel < 1e-7, f"rel L2 between methods {rel}"
 
 
 def test_sparse_yukawa_in_solver_matches_dense(icosphere):
@@ -291,6 +309,32 @@ def test_sparse_yukawa_in_solver_matches_dense(icosphere):
         q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam, plan, interpret=True
     )
     assert float(jnp.max(jnp.linalg.norm(got - dense, axis=1))) < 1e-10
+
+
+def test_sparse_yukawa_segmented_matches_single_call(icosphere):
+    """Pair lists over the SMEM cap split into fixed-geometry segment calls
+    (the round-1 SMEM overflow fix); results must be identical to the
+    single-call path."""
+    from shm3d.domains import grid as gd
+    from shm3d.geometry import sources as src_mod
+    from shm3d.ops import yukawa_sparse as ys
+
+    src = src_mod.from_mesh(icosphere)
+    g = gd.build_grid(icosphere.vertices, 2.0, 0.0)
+    lam = float(np.sqrt(1.0 / src.spacing ** 2))
+    q = jnp.asarray(g.node_positions())
+    plan = ys.build_plan(g, src.points, lam, 1e-8, s_block=64)
+    single = ys.yukawa_field_sparse(
+        q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam, plan, interpret=True
+    )
+    assert not plan.fits_smem(7)
+    segs, nb_cap = plan.segments(7)
+    assert len(segs) > 1 and all(len(s["brick"]) == 7 for s in segs)
+    segmented = ys.yukawa_field_sparse(
+        q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam, plan,
+        interpret=True, pair_cap=7,
+    )
+    np.testing.assert_allclose(np.asarray(segmented), np.asarray(single), rtol=0, atol=0)
 
 
 def test_sparse_yukawa_point_queries_matches_dense(icosphere):
