@@ -39,13 +39,16 @@ def main():
         path = os.path.join(DATA, "bunny.pc")
 
     geom = read_geometry(path)
+    # Dense Pallas Step 1 (the block-sparse culled variant kept 66% of the
+    # pair grid at this config — not worth its SMEM segmentation overhead)
+    # and the projected MG-PCG Step 3 with dtype-aware tolerance.
     opts = SignedHeatOptions(
         dtype="float32",
         h_coef=h_coef,
         refine_steps=0,
-        solver_tol=1e-6,
-        solver_maxiter=20000,
-        cull_eps=1e-6,  # block-sparse Step 1 (rigorous relative bound)
+        solver_maxiter=2000,
+        cull_eps=0.0,
+        verbose=os.environ.get("SHM3D_BENCH_VERBOSE", "") != "",
     )
     solver = GridSolver()
 

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-vtk", metavar="PATH",
                    help="write the solved volume as legacy VTK (ParaView)")
     p.add_argument("--json", action="store_true", help="print a JSON summary line")
+    p.add_argument("--profile", metavar="LOGDIR",
+                   help="write a jax.profiler trace of the solve to LOGDIR "
+                        "(view with TensorBoard/XProf)")
     return p
 
 
@@ -80,8 +83,11 @@ def main(argv=None) -> int:
     )
     solver = SignedHeatSolver("grid" if args.grid else "tet")
 
+    from .utils.timing import profiler_trace
+
     t0 = time.time()
-    result = solver.compute_distance(geom, options)
+    with profiler_trace(args.profile):
+        result = solver.compute_distance(geom, options)
     solve_s = time.time() - t0
     phi = result.phi
     if args.verbose:

@@ -62,7 +62,10 @@ def build_grid(positions: np.ndarray, scale: float = 2.0, h_coef: float = 0.0) -
     c = surf.centroid(positions)
     r = surf.radius(positions, c)
     s = r * scale
-    n = int(2 * 2 ** (int(h_coef) + 3))
+    # hCoef is a float in the reference (nx = 2*pow(2, hCoef+3) computed in
+    # floating point, signed_heat_grid_solver.cpp:24); do NOT truncate the
+    # exponent or fractional refinement (e.g. --h 1.5) silently coarsens.
+    n = int(2 * 2.0 ** (float(h_coef) + 3))
     cell = 2.0 * s / (n - 1)
     bbox_min = tuple((c - s).tolist())
     return GridSpec(bbox_min, cell, n)

@@ -121,16 +121,29 @@ class TetMesh:
         return float(acc / (6 * self.n_tets))
 
 
-def _lattice_resolution(half_side: float, mean_area: float, h_coef: float) -> int:
+def _lattice_resolution(
+    half_side: float, mean_area: float, h_coef: float, cap: int = 64
+) -> int:
     """Cells per axis.  The reference drives refinement with TetGen's
     max-tet-volume = 2^-hCoef * meanFaceArea (signed_heat_tet_solver.cpp:16-23);
-    a Kuhn tet has volume cell^3/6, so cell ~ (6 * maxvol)^(1/3)."""
+    a Kuhn tet has volume cell^3/6, so cell ~ (6 * maxvol)^(1/3).
+
+    ``cap`` bounds the uniform lattice (resolution beyond it produces
+    multi-million-tet meshes); a warning is emitted when the cap truncates
+    the requested refinement so hCoef saturation is visible (the reference
+    honors TetGen maxvol unboundedly)."""
     maxvol = (2.0 ** -h_coef) * mean_area
     cell = (6.0 * maxvol) ** (1.0 / 3.0)
     n = int(np.ceil(2.0 * half_side / cell))
-    # uniform-lattice cap: without octree grading (future work), resolution
-    # beyond 64 produces multi-million-tet meshes the FEM stage does not need
-    return int(np.clip(n, 8, 64))
+    if n > cap:
+        import warnings
+
+        warnings.warn(
+            f"tet lattice resolution {n} exceeds the cap {cap}; hCoef-driven "
+            f"refinement saturates (pass resolution=/lattice_cap= to raise it)",
+            stacklevel=2,
+        )
+    return int(np.clip(n, 8, cap))
 
 
 class _MeshBuilder:
@@ -300,6 +313,7 @@ def build_tet_domain(
     h_coef: float = 0.0,
     mean_area: Optional[float] = None,
     resolution: Optional[int] = None,
+    lattice_cap: int = 64,
 ) -> TetMesh:
     """Kuhn-lattice stuffing mesh of the bounding cube containing
     ``src_points`` (V, 3) exactly as mesh vertices 0..V-1."""
@@ -313,7 +327,7 @@ def build_tet_domain(
     if resolution is None:
         if mean_area is None:
             mean_area = (2.0 * s / 16.0) ** 2
-        resolution = _lattice_resolution(s, mean_area, h_coef)
+        resolution = _lattice_resolution(s, mean_area, h_coef, cap=lattice_cap)
     nl = int(resolution)
     h = 2.0 * s / nl
     bmin = c - s

@@ -219,14 +219,19 @@ def _component_rows(labels: np.ndarray, src_vertex: np.ndarray):
     (signed_heat_tet_solver.cpp:183-210, the DFS emits exactly these)."""
     roots, members = [], []
     seen_root = {}
+    seen_members = {}
     for idx in range(labels.shape[0]):
         c = labels[idx]
         mv = src_vertex[idx]
         if c not in seen_root:
             seen_root[c] = mv
+            seen_members[c] = {int(mv)}
             continue
-        if mv == seen_root[c]:
-            continue  # dedup-merged vertex
+        if int(mv) in seen_members[c]:
+            # coincident input vertices merged to one mesh vertex: a second
+            # (root, mv) row would make the KKT matrix singular
+            continue
+        seen_members[c].add(int(mv))
         roots.append(seen_root[c])
         members.append(mv)
     return np.asarray(roots, dtype=np.int64), np.asarray(members, dtype=np.int64)
@@ -325,6 +330,11 @@ class SignedHeatTetSolver:
             mean_area = float(np.mean(sources.weights))
             labels = pc_geom.connected_components(geom.positions)
             dual_areas = sources.weights
+        # Intentional fix of a reference quirk: the reference tet path always
+        # builds its bounding cube with the DEFAULT scale=2 (triangulateCube
+        # called without options.scale, signed_heat_tet_solver.cpp:893,1024)
+        # even when the user sets options.scale; here the option is honored
+        # on both domains (SURVEY.md §7 quirk-handling policy).
         mesh = build_tet_domain(src_pts, options.scale, options.h_coef, mean_area=mean_area)
         dual = fem.build_dual_laplacian(mesh)
         # conforming? (triangle meshes only; the stuffing mesher rarely is,
@@ -363,6 +373,7 @@ class SignedHeatTetSolver:
             dual_areas=jnp.asarray(dual_areas, dtype),
             comp_root=jnp.asarray(comp_root, jnp.int32),
             comp_member=jnp.asarray(comp_member, jnp.int32),
+            src_labels=np.asarray(labels, dtype=np.int64),
         )
 
     def _integrate(self, Y, mesh, geom, cached, options, tm):
@@ -417,24 +428,14 @@ class SignedHeatTetSolver:
         and later member vertices copy it."""
         import collections
 
-        comp_root = np.asarray(cached["comp_root"])
-        comp_member = np.asarray(cached["comp_member"])
         NV = mesh.n_vertices
         comp_of = np.full(NV, -1, dtype=np.int64)
-        # rebuild per-vertex component labels from the constraint rows
-        comp_of[np.asarray(mesh.src_vertex)] = 0  # provisional
-        labels = {}
-        nxt = 0
-        for r, m in zip(comp_root, comp_member):
-            if r not in labels:
-                labels[int(r)] = nxt = len(labels)
-            comp_of[int(m)] = labels[int(r)]
-            comp_of[int(r)] = labels[int(r)]
-        # any source vertex not in rows forms its own component
-        for v in np.asarray(mesh.src_vertex):
-            if comp_of[v] < 0 or (int(v) not in labels and comp_of[v] == 0):
-                pass
-        n_comp = max(len(labels), 1)
+        # true per-input-vertex component labels cached at build time
+        # (singleton components keep their own distinct label, matching the
+        # reference's per-component tracking, signed_heat_tet_solver.cpp:493-556)
+        src_labels = np.asarray(cached["src_labels"], dtype=np.int64)
+        comp_of[np.asarray(mesh.src_vertex)] = src_labels
+        n_comp = int(src_labels.max()) + 1 if src_labels.size else 1
         comp_value = np.zeros(n_comp)
         comp_visited = np.zeros(n_comp, dtype=bool)
 

@@ -24,52 +24,7 @@ jax.config.update("jax_enable_x64", True)
 import numpy as np
 import pytest
 
-from shm3d.io.mesh_io import Mesh
-
-
-def make_icosphere(subdivisions: int = 2, radius: float = 1.0, center=(0.0, 0.0, 0.0)) -> Mesh:
-    """Procedural triangle-mesh fixture (unit icosphere)."""
-    t = (1.0 + np.sqrt(5.0)) / 2.0
-    verts = np.array(
-        [
-            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
-            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
-            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
-        ],
-        dtype=np.float64,
-    )
-    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
-    faces = np.array(
-        [
-            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
-            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
-            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
-            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
-        ],
-        dtype=np.int64,
-    )
-    for _ in range(subdivisions):
-        edge_mid = {}
-        new_faces = []
-        verts_list = [v for v in verts]
-
-        def midpoint(a, b):
-            key = (min(a, b), max(a, b))
-            if key not in edge_mid:
-                m = verts_list[a] + verts_list[b]
-                m /= np.linalg.norm(m)
-                edge_mid[key] = len(verts_list)
-                verts_list.append(m)
-            return edge_mid[key]
-
-        for f in faces:
-            a, b, c = int(f[0]), int(f[1]), int(f[2])
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [[a, ab, ca], [b, bc, ab], [c, ca, bc], [ab, bc, ca]]
-        verts = np.array(verts_list)
-        faces = np.array(new_faces, dtype=np.int64)
-    verts = verts * radius + np.asarray(center, dtype=np.float64)
-    return Mesh.from_face_lists(verts, [list(f) for f in faces])
+from shm3d.geometry.procedural import make_icosphere  # shared fixture builder
 
 
 @pytest.fixture(scope="session")

@@ -196,6 +196,16 @@ def test_grid_pipeline_f32_with_refinement(icosphere):
     assert rel < 2e-5, f"rel L2 {rel}"
 
 
+def test_fractional_h_coef_refines():
+    """ADVICE round 1 (low): hCoef is a float in the reference
+    (nx = 2*pow(2, hCoef+3), signed_heat_grid_solver.cpp:24); fractional
+    values must refine instead of truncating to the coarser grid."""
+    pts = np.array([[0.0, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]])
+    assert griddom.build_grid(pts, 2.0, 0.0).n == 16
+    assert griddom.build_grid(pts, 2.0, 1.5).n == int(2 * 2 ** 4.5)  # 45
+    assert griddom.build_grid(pts, 2.0, 3.0).n == 128
+
+
 def test_grid_pipeline_fast_integration_matches_oracle(icosphere):
     opts = SignedHeatOptions(dtype="float64", fast_integration=True)
     expected = oracle.solve_grid(icosphere, opts)

@@ -161,6 +161,48 @@ def test_tet_greedy_matches_oracle(ico_mesh):
     assert rel < 1e-10, f"rel L2 {rel}"
 
 
+def test_tet_greedy_multiple_singleton_component(ico_mesh):
+    """ADVICE round 1 (medium): a singleton component (isolated source vertex,
+    no constraint row) must be integrated as its own level set, not
+    overwritten with component 0's locked value."""
+    from shm3d.io.mesh_io import Mesh
+    from shm3d.geometry import surface as surf
+
+    verts = np.concatenate([ico_mesh.vertices, [[2.5, 0.0, 0.0]]], axis=0)
+    faces = [list(f) for f in ico_mesh.triangles()]
+    mesh = Mesh.from_face_lists(verts, faces)
+    labels = surf.connected_components_vertices(mesh)
+    assert labels.max() == 1  # sphere component + the isolated vertex
+
+    opts = SignedHeatOptions(
+        dtype="float64", fast_integration=True,
+        level_set_constraint=LevelSetConstraint.MULTIPLE,
+    )
+    res = SignedHeatTetSolver().compute_distance(mesh, opts)
+    tm = res.mesh
+    phi_src = res.phi[tm.src_vertex]
+    sphere_vals = phi_src[labels == 0]
+    iso_val = phi_src[labels == 1][0]
+    # each component locks ONE value; members copy it exactly
+    assert np.ptp(sphere_vals) == 0.0
+    # the isolated vertex sits ~1.5 away from the sphere: its line-integrated
+    # value must differ clearly from the sphere's locked value
+    assert abs(iso_val - sphere_vals[0]) > 0.2
+
+
+def test_component_rows_dedup_coincident_vertices(ico_mesh):
+    """ADVICE round 1 (low): two coincident non-root input vertices merged to
+    the same mesh vertex must emit ONE (root, member) row, keeping the
+    MULTIPLE KKT matrix nonsingular."""
+    from shm3d.tet.solver import _component_rows
+
+    labels = np.array([0, 0, 0, 0])
+    src_vertex = np.array([7, 9, 9, 11])  # vertices 1 and 2 merged to 9
+    roots, members = _component_rows(labels, src_vertex)
+    assert list(roots) == [7, 7]
+    assert list(members) == [9, 11]
+
+
 def test_tet_point_cloud_path(ico_mesh):
     from shm3d.io.mesh_io import PointCloud
 
