@@ -239,9 +239,13 @@ def yukawa_field(
     use_pallas: Optional[bool] = None,
     **kwargs,
 ):
-    """Dispatch: Pallas on TPU, XLA elsewhere."""
+    """Dispatch: Pallas on TPU, XLA elsewhere.  Pallas/Mosaic kernels fail
+    to compile when x64 is globally enabled (index maps trace to i64), so
+    x64 processes take the XLA path."""
     if use_pallas is None:
-        use_pallas = jax.default_backend() == "tpu"
+        use_pallas = (
+            jax.default_backend() == "tpu" and not jax.config.jax_enable_x64
+        )
     if use_pallas:
         return yukawa_field_pallas(queries, src_points, src_vectors, lam, normalize=normalize, **kwargs)
     return yukawa_field_xla(queries, src_points, src_vectors, lam, normalize=normalize)

@@ -38,13 +38,18 @@ def cg(
     tol: float = 1e-8,
     maxiter: int = 1000,
     rhs_mnorm=None,
+    stall_window: Optional[int] = None,
 ) -> SolveResult:
     """Preconditioned conjugate gradients for SPD ``matvec``.
 
     ``rhs_mnorm`` overrides the reference norm for the relative convergence
     test — pass ||b||_M of the ORIGINAL system when warm-restarting in
     chunks, otherwise each chunk would try to shrink its own residual by
-    ``tol`` and never terminate."""
+    ``tol`` and never terminate.
+
+    ``stall_window``: stop when the preconditioned residual has not improved
+    by >2% for this many consecutive iterations (the dtype roundoff floor —
+    float32 solves otherwise burn maxiter chasing unreachable tolerances)."""
     M = precond or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
@@ -53,13 +58,14 @@ def cg(
     rz0 = jnp.vdot(r0, z0)
     bnorm = jnp.sqrt(jnp.vdot(b, M(b))) if rhs_mnorm is None else rhs_mnorm
     threshold = tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
+    window = jnp.array(maxiter + 1 if stall_window is None else stall_window, jnp.int32)
 
     def cond(state):
-        _, r, _, _, rz, k = state
-        return (jnp.sqrt(jnp.abs(rz)) > threshold) & (k < maxiter)
+        _, r, _, _, rz, k, best, since = state
+        return (jnp.sqrt(jnp.abs(rz)) > threshold) & (k < maxiter) & (since < window)
 
     def body(state):
-        x, r, z, p, rz, k = state
+        x, r, z, p, rz, k, best, since = state
         Ap = matvec(p)
         alpha = rz / jnp.vdot(p, Ap)
         x = x + alpha * p
@@ -68,10 +74,15 @@ def cg(
         rz_new = jnp.vdot(r, z)
         beta = rz_new / rz
         p = z + beta * p
-        return (x, r, z, p, rz_new, k + 1)
+        rn = jnp.sqrt(jnp.abs(rz_new))
+        improved = rn < 0.98 * best
+        best = jnp.minimum(best, rn)
+        since = jnp.where(improved, 0, since + 1)
+        return (x, r, z, p, rz_new, k + 1, best, since)
 
-    state = (x0, r0, z0, z0, rz0, jnp.array(0, jnp.int32))
-    x, r, _, _, rz, k = jax.lax.while_loop(cond, body, state)
+    state = (x0, r0, z0, z0, rz0, jnp.array(0, jnp.int32),
+             jnp.sqrt(jnp.abs(rz0)), jnp.array(0, jnp.int32))
+    x, r, _, _, rz, k, _, _ = jax.lax.while_loop(cond, body, state)
     return SolveResult(x, k, jnp.sqrt(jnp.abs(rz)))
 
 

@@ -33,7 +33,7 @@ matching signed_heat_grid_solver.cpp:84-100,433-464).
 
 from __future__ import annotations
 
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -54,11 +54,50 @@ def at_apply(y: jnp.ndarray, nodes8: jnp.ndarray, coeffs8: jnp.ndarray, n: int) 
 
 
 class GramTable(NamedTuple):
-    """Padded CSR neighbor table of A A^T (host-built cache artifact)."""
+    """Gram-matrix artifacts of A A^T (host-extracted cache artifact).
 
-    idx: jnp.ndarray   # (m, K) int32 column indices, padded with 0
-    val: jnp.ndarray   # (m, K) values, padded with 0.0
-    diag: jnp.ndarray  # (m,) diagonal
+    The Gram matrix can be *extremely* ill-conditioned (cond ~1e7 measured
+    for 52k points in 4.1k cells at 128^3: points straddling a cell face
+    give nearly identical rows).  That kills Krylov iterations on it AND any
+    f32-factored application of its inverse: noise along an eigendirection
+    with tiny eigenvalue lam is amplified by eps/sqrt(lam) (~4e-4 in f32).
+    Three application modes, chosen by size at build time:
+
+    - ``bmat`` set (m <= ORTHO_GRAM_CAP — the production path): the
+      constraint rows are re-orthonormalized ON HOST in float64 (dense eigh
+      of the scaled Gram; P depends only on the ROW SPACE of A, so any
+      basis change is exact).  B = Lam^{-1/2} Q^T D^{-1/2} A satisfies
+      B B^T = I exactly, making B a partial isometry: every row has unit
+      norm and entries <= 1, so P = I - B^T B applies in PURE float32 with
+      error ~eps*sqrt(nt) and NO cond(G) amplification (measured 3.4e-8 vs
+      the exact f64 projection on the cond-1e7 case above).  B is stored
+      dense on the nt <= 8m touched nodes; application is two MXU matvecs.
+    - ``inv`` set (ORTHO_GRAM_CAP < m <= DENSE_GRAM_CAP): exact f64
+      host-factored dense inverse of the scaled Gram, applied in f64
+      (emulated f64 on TPU has true f64 precision with f32 range — fine,
+      the scaled Gram is O(1)).  Requires x64; when x64 is off the f32 cast
+      reintroduces the eps*sqrt(cond) floor.  NOTE: Pallas kernels do not
+      compile under x64 on the TPU stack, so this tier pairs with the XLA
+      Yukawa fallback (shm3d.ops.yukawa dispatch).
+    - neither (m > DENSE_GRAM_CAP): Jacobi-PCG on the padded neighbor table
+      (idx/val/diag; <= 27 nnz/row) — slow on ill-conditioned cases.
+    """
+
+    idx: jnp.ndarray            # (m, K) int32 column indices, padded with 0
+    val: jnp.ndarray            # (m, K) values, padded with 0.0
+    diag: jnp.ndarray           # (m,) diagonal
+    inv: Optional[jnp.ndarray] = None      # (m, m) inverse of the scaled Gram
+    dinv: Optional[jnp.ndarray] = None     # (m,) diag^{-1/2} Jacobi scaling
+    bmat: Optional[jnp.ndarray] = None     # (r, nt) orthonormalized rows
+    touched: Optional[jnp.ndarray] = None  # (nt,) int32 touched node ids
+
+
+# Largest m for which the rows are re-orthonormalized on host (dense f64
+# eigh is O(m^3): ~10 s at m=4k, ~80 s at m=8k).
+ORTHO_GRAM_CAP = 8192
+# Largest m for which the dense inverse is built (m^2 * 4 B of HBM: 32768
+# -> 4 GiB).  Beyond it the iterative fallback applies.
+DENSE_GRAM_CAP = 32768
 
 
 def gram_apply(y: jnp.ndarray, gram: GramTable) -> jnp.ndarray:
@@ -66,9 +105,16 @@ def gram_apply(y: jnp.ndarray, gram: GramTable) -> jnp.ndarray:
     return jnp.sum(gram.val * y[gram.idx], axis=1)
 
 
-def build_gram_table(nodes8: np.ndarray, coeffs8: np.ndarray, n: int, dtype) -> GramTable:
+def build_gram_table(
+    nodes8: np.ndarray, coeffs8: np.ndarray, n: int, dtype,
+    ortho_cap: int = ORTHO_GRAM_CAP,
+    dense_cap: int = DENSE_GRAM_CAP,
+) -> GramTable:
     """Host-side extraction of the sparse Gram matrix into a padded neighbor
-    table.  K = max nonzeros per row (<= 27: the 26 cell neighbors + self)."""
+    table (K = max nonzeros per row, <= 27: the 26 cell neighbors + self),
+    plus the size-tiered exact-projection artifacts (orthonormalized row
+    factor / dense scaled inverse — see GramTable docstring).  Happens once
+    per operator-cache build."""
     import scipy.sparse as sp
 
     m = nodes8.shape[0]
@@ -86,25 +132,87 @@ def build_gram_table(nodes8: np.ndarray, coeffs8: np.ndarray, n: int, dtype) -> 
     c = np.arange(G.nnz) - np.repeat(G.indptr[:-1], nnz)
     idx[r, c] = G.indices
     val[r, c] = G.data
+
+    d = G.diagonal()
+    inv = dinv = bmat = touched_j = None
+    if m <= ortho_cap:
+        # exact f64 re-orthonormalization of the row space (P is basis-
+        # independent); exact-duplicate rows show up as eigenvalues at the
+        # f64 noise floor and are dropped — an exact rank reduction
+        touched = np.unique(nodes8)
+        remap = np.zeros(n, dtype=np.int64)
+        remap[touched] = np.arange(touched.size)
+        Asub = sp.coo_matrix(
+            (coeffs8.reshape(-1), (rows, remap[nodes8.reshape(-1)])),
+            shape=(m, touched.size),
+        ).tocsr()
+        dscale = 1.0 / np.sqrt(d)
+        Gs = (sp.diags(dscale) @ G @ sp.diags(dscale)).toarray()
+        lam, Q = np.linalg.eigh(Gs)
+        keep = lam > 1e-10 * lam[-1]
+        T = (Q[:, keep] / np.sqrt(lam[keep])).T * dscale[None, :]
+        B = np.asarray((sp.csr_matrix(T) @ Asub).todense())
+        bmat = jnp.asarray(B, dtype)
+        touched_j = jnp.asarray(touched, jnp.int32)
+    elif m <= dense_cap:
+        import jax
+        import scipy.sparse.linalg as spla
+
+        dscale = 1.0 / np.sqrt(d)
+        Dinv = sp.diags(dscale)
+        Gs = (Dinv @ G @ Dinv).tocsc()
+        # float64 host inverse via the sparse factorization (solve vs
+        # identity); the tiny shift keeps the factorization of the
+        # near-singular scaled Gram stable and perturbs the projector by
+        # ~delta/sqrt(lam_min) << any compute dtype's floor
+        lu = spla.splu(Gs + 1e-14 * sp.eye(m, format="csc"))
+        X = lu.solve(np.eye(m, dtype=np.float64))
+        X = 0.5 * (X + X.T)  # symmetry is required for CG (see module doc)
+        wdtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
+        inv = jnp.asarray(X, wdtype)
+        dinv = jnp.asarray(dscale, wdtype)
     return GramTable(
-        jnp.asarray(idx), jnp.asarray(val, dtype), jnp.asarray(G.diagonal(), dtype)
+        jnp.asarray(idx), jnp.asarray(val, dtype), jnp.asarray(d, dtype),
+        inv, dinv, bmat, touched_j,
     )
 
 
 def inner_gram_budget(dtype) -> tuple:
-    """(tol, maxiter) for the inner Gram solve.  float64 runs near machine
-    precision (floor ~ eps * cond); float32 accepts its roundoff floor and
-    defers final accuracy to the f64 defect correction."""
+    """(tol, maxiter) for the iterative Gram fallback (m > dense cap)."""
     if jnp.dtype(dtype) == jnp.float32:
         return 1e-5, 200
     return 2e-12, 1500
 
 
 def make_projector(nodes8, coeffs8, gram: GramTable, n: int):
-    """P v = v - A^T (A A^T)^{-1} A v with Jacobi-PCG on the Gram table.
+    """P v = v - A^T (A A^T)^{-1} A v.
 
-    The Gram solve is consistent by construction (rhs = A v is in the range),
-    so CG converges even for (near-)duplicate rows."""
+    Dense mode: one (m, m) MXU matvec of the precomputed scaled inverse.
+    Fallback: Jacobi-PCG on the neighbor table (consistent by construction,
+    so CG converges even for (near-)duplicate rows — slowly when the Gram
+    is ill-conditioned; the dense mode exists for exactly that reason)."""
+
+    if gram.bmat is not None:
+
+        def project(v):
+            vs = v[gram.touched]
+            w = gram.bmat @ vs
+            return v.at[gram.touched].add(-(gram.bmat.T @ w))
+
+        return project
+
+    if gram.inv is not None:
+        wdtype = gram.inv.dtype
+
+        def project(v):
+            vw = v.astype(wdtype)
+            cw = coeffs8.astype(wdtype)
+            av = a_apply(vw, nodes8, cw)
+            z = gram.dinv * (gram.inv @ (gram.dinv * av))
+            return (vw - at_apply(z, nodes8, cw, n)).astype(v.dtype)
+
+        return project
+
     tol, maxiter = inner_gram_budget(gram.val.dtype)
 
     def project(v):
@@ -138,6 +246,8 @@ def host_gram_factor(nodes8: np.ndarray, coeffs8: np.ndarray, n: int):
         (coeffs8.reshape(-1), (rows, nodes8.reshape(-1))), shape=(m, n)
     ).tocsr()
     gram = (A @ A.T).tocsc()
+    # tiny shift: exact-duplicate rows make the Gram exactly singular
+    gram = gram + 1e-14 * sp.eye(m, format="csc")
     return A, spla.splu(gram)
 
 

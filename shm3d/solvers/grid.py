@@ -101,7 +101,7 @@ def _pinned_pcg_chunk(b, x0, nodes8, coeffs8, gram, cell_size, shape, tol: float
     Pb = proj(b)
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(Pb, precond(Pb))))
     res = krylov.cg(matvec, Pb, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm)
+                    rhs_mnorm=rhs_mnorm, stall_window=60)
     return res.x, res.iterations, res.residual
 
 
@@ -276,6 +276,7 @@ class GridSolver:
                     grid=grid,
                     nodes8=jnp.asarray(nodes8, jnp.int32),
                     coeffs8=jnp.asarray(coeffs8, dtype),
+                    coeffs8_f64=np.asarray(coeffs8, np.float64),  # host copy for refinement
                     gram=projection.build_gram_table(
                         nodes8, coeffs8, grid.total_nodes, dtype
                     ),
@@ -363,7 +364,7 @@ class GridSolver:
         shape = grid.shape
         N = grid.total_nodes
         nodes8 = np.asarray(cached["nodes8"])
-        coeffs8 = np.asarray(cached["coeffs8"], dtype=np.float64)
+        coeffs8 = cached["coeffs8_f64"]
         host = cached.get("host_gram")
         if host is None:
             host = projection.host_gram_factor(nodes8, coeffs8, N)
@@ -391,19 +392,46 @@ class GridSolver:
                     tm.note(f"refine skipped/stopped at rel_res={rel:.2e}")
                 break
             scale = np.abs(r).max()
-            # correction solve in f32 on device on the scaled residual
-            rr = jnp.asarray((r / scale), jnp.float32)
-            dx = self._correction_solve(rr, cached, grid, options)
+            # correction solve on device on the scaled residual
+            dx = self._correction_solve(r / scale, cached, grid, options)
             u64 = u64 + scale * np.asarray(dx, dtype=np.float64)
             u64 = projection.host_project(u64, A, gram_lu)
         return jnp.asarray(u64, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
-    def _correction_solve(self, rhs_f32, cached, grid, options):
+    def _correction_solve(self, rhs_np, cached, grid, options):
         """Projected MG-PCG on the defect (same operator, arbitrary RHS).
-        Only called from _refine, i.e. when the solve dtype is float32, so
-        the cached arrays are already f32."""
+
+        When x64 is available (CPU backend) the correction runs in float64:
+        the f32 dense-inverse projector carries an ~eps*sqrt(cond(AA^T))
+        error floor that would otherwise cap refinement gains.  On TPU
+        (x64 unavailable) the correction runs in f32 and refinement stops at
+        that floor (see shm3d.solve.projection docstring)."""
+        if jax.config.jax_enable_x64:
+            g64 = cached.get("gram64")
+            if g64 is None:
+                nodes8 = np.asarray(cached["nodes8"])
+                coeffs8 = cached["coeffs8_f64"]
+                g64 = (
+                    jnp.asarray(coeffs8, jnp.float64),
+                    projection.build_gram_table(
+                        nodes8, coeffs8, grid.total_nodes, jnp.float64
+                    ),
+                )
+                cached["gram64"] = g64
+            coeffs8_64, gram64 = g64
+            u, _, _ = _solve_pinned(
+                jnp.asarray(rhs_np, jnp.float64),
+                cached["nodes8"],
+                coeffs8_64,
+                gram64,
+                jnp.float64(grid.cell_size),
+                grid.shape,
+                options.resolved_solver_tol("float64"),
+                options.solver_maxiter,
+            )
+            return u
         u, _, _ = _solve_pinned(
-            rhs_f32,
+            jnp.asarray(rhs_np, jnp.float32),
             cached["nodes8"],
             cached["coeffs8"],
             cached["gram"],
