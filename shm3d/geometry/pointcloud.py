@@ -55,26 +55,26 @@ def local_triangulation(positions: np.ndarray, k: int = _K_NEIGHBORS) -> LocalTr
     _, nbrs = tree.query(positions, k=k + 1, workers=-1)
     nbrs = nbrs[:, 1:]
 
-    tris = []
-    for i in range(P):
-        nb = nbrs[i]
-        rel = positions[nb] - positions[i]
-        # Tangent plane via PCA: normal = least-significant principal axis.
-        cov = rel.T @ rel
-        _, vecs = np.linalg.eigh(cov)
-        n = vecs[:, 0]
-        e1 = vecs[:, 2]
-        e2 = np.cross(n, e1)
-        # Angular sort of neighbors in the tangent plane.
-        ang = np.arctan2(rel @ e2, rel @ e1)
-        order = np.argsort(ang)
-        ring = nb[order]
-        # Fan triangles between angularly consecutive neighbors (closed loop).
-        a = np.full(len(ring), i, dtype=np.int64)
-        b = ring
-        c = np.roll(ring, -1)
-        tris.append(np.stack([a, b, c], axis=1))
-    triangles = np.concatenate(tris, axis=0)
+    # Batched over all P points at once (a per-point Python loop costs ~11 s
+    # at 52k points; this path runs inside every cold solve's precompute).
+    rel = positions[nbrs] - positions[:, None, :]            # (P, k, 3)
+    cov = np.einsum("pki,pkj->pij", rel, rel)                # (P, 3, 3)
+    # Tangent plane via PCA: normal = least-significant principal axis.
+    _, vecs = np.linalg.eigh(cov)                            # batched eigh
+    n = vecs[:, :, 0]
+    e1 = vecs[:, :, 2]
+    e2 = np.cross(n, e1)
+    # Angular sort of neighbors in the tangent plane.
+    ang = np.arctan2(
+        np.einsum("pki,pi->pk", rel, e2), np.einsum("pki,pi->pk", rel, e1)
+    )
+    order = np.argsort(ang, axis=1)
+    ring = np.take_along_axis(nbrs, order, axis=1)           # (P, k)
+    # Fan triangles between angularly consecutive neighbors (closed loop).
+    a = np.repeat(np.arange(P, dtype=np.int64), ring.shape[1])
+    b = ring.reshape(-1)
+    c = np.concatenate([ring[:, 1:], ring[:, :1]], axis=1).reshape(-1)
+    triangles = np.stack([a, b, c], axis=1)
     # Drop degenerate triangles with repeated vertices.
     good = (triangles[:, 0] != triangles[:, 1]) & (triangles[:, 1] != triangles[:, 2]) & (
         triangles[:, 0] != triangles[:, 2]

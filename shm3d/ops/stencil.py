@@ -44,10 +44,20 @@ def _shift_prev(u: jnp.ndarray, axis: int) -> jnp.ndarray:
 
 def laplacian_apply(u: jnp.ndarray, cell_size) -> jnp.ndarray:
     """L u for the mirrored 7-point Laplacian (negative semi-definite),
-    scaled 1/cellSize^2 (signed_heat_grid_solver.cpp:278-334)."""
-    acc = -6.0 * u
-    for axis in range(3):
-        acc = acc + _shift_next(u, axis) + _shift_prev(u, axis)
+    scaled 1/cellSize^2 (signed_heat_grid_solver.cpp:278-334).
+
+    Implemented as one edge-replicated pad plus six slice-adds: the slices
+    fuse into a single kernel reading the padded array once, versus six
+    materialized shifted copies with per-axis concatenates (the Jacobi
+    smoother applies this operator several times per V-cycle, so its memory
+    traffic sets the Step-3 per-iteration cost)."""
+    up = jnp.pad(u, 1, mode="edge")
+    acc = (
+        -6.0 * u
+        + up[2:, 1:-1, 1:-1] + up[:-2, 1:-1, 1:-1]
+        + up[1:-1, 2:, 1:-1] + up[1:-1, :-2, 1:-1]
+        + up[1:-1, 1:-1, 2:] + up[1:-1, 1:-1, :-2]
+    )
     return acc / (cell_size * cell_size)
 
 

@@ -18,7 +18,12 @@ the same halo-friendly stencil as shm3d.ops.stencil):
 - Coarse operator: rediscretized H at doubled spacing (not Galerkin; for the
   7-point stencil with these transfers they agree to the accuracy that
   matters for preconditioning).
-- Coarsest level (n = 4): fixed Jacobi sweeps.
+- Coarsest level (n = 8): one dense matvec with the host-precomputed
+  pseudo-inverse of the unit-cell coarse operator (H scales as 1/cell^2, so
+  the cached pinv is dimensionless and multiplied by cell^2 at runtime).
+  The TPU runtime charges ~0.1 ms of overhead per op regardless of size, so
+  the previous 40 unrolled Jacobi sweeps (~140 tiny ops) dominated the whole
+  V-cycle cost; the dense solve is one op and exact.
 """
 
 from __future__ import annotations
@@ -27,10 +32,26 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import stencil
 
 _OMEGA = 2.0 / 3.0
+
+
+@functools.lru_cache(maxsize=8)
+def _coarse_pinv_unit(n: int) -> np.ndarray:
+    """Dense pseudo-inverse of the unit-cell-size coarse operator H = -L on
+    an (n, n, n) grid (mirrored boundaries), as a host float64 array.  The
+    null constant mode is truncated, keeping the result symmetric PSD (a
+    valid MINRES/CG preconditioner block)."""
+    from ..domains import grid as griddom
+
+    spec = griddom.GridSpec((0.0, 0.0, 0.0), 1.0, n)
+    H = -griddom.laplacian_matrix(spec).toarray()
+    lam, Q = np.linalg.eigh(H)
+    inv = np.where(lam > 1e-8 * lam[-1], 1.0 / np.maximum(lam, 1e-300), 0.0)
+    return (Q * inv) @ Q.T
 
 
 def _H_apply(u, cell):
@@ -65,17 +86,27 @@ def prolong(e):
     return e.reshape(2 * m, 2 * m, 2 * m)
 
 
-def v_cycle(b, cell, nu: int = 2, coarsest: int = 4, coarse_sweeps: int = 40):
+def v_cycle(b, cell, nu: int = 1, coarsest: int = 8):
     """One symmetric V-cycle approximating H^{-1} b, H = -L at spacing
-    ``cell``.  ``b`` is (n, n, n); returns (n, n, n)."""
+    ``cell``.  ``b`` is (n, n, n); returns (n, n, n).  The coarsest level is
+    solved exactly with the cached dense pseudo-inverse (one matvec; the
+    1/cell^2 operator scaling becomes a cell^2 factor on the result)."""
     n = b.shape[0]
     dtype = b.dtype
-    diag = _H_diag(b.shape, cell, dtype)
     if n <= coarsest:
-        return _jacobi(jnp.zeros_like(b), b, cell, diag, coarse_sweeps)
+        if n <= 16:  # dense pinv: 16^3 -> a 4096^2 matvec; beyond that, smooth
+            pinv = jnp.asarray(_coarse_pinv_unit(n), dtype)
+            return (cell * cell) * (pinv @ b.reshape(-1)).reshape(b.shape)
+        diag_c = _H_diag(b.shape, cell, dtype)
+        return _jacobi(jnp.zeros_like(b), b, cell, diag_c, 40)
+    if n % 2:
+        # odd resolution (fractional hCoef): cannot 2x-coarsen; smooth only
+        diag_o = _H_diag(b.shape, cell, dtype)
+        return _jacobi(jnp.zeros_like(b), b, cell, diag_o, 20)
+    diag = _H_diag(b.shape, cell, dtype)
     u = _jacobi(jnp.zeros_like(b), b, cell, diag, nu)
     r = b - _H_apply(u, cell)
-    e = v_cycle(restrict(r), 2.0 * cell, nu, coarsest, coarse_sweeps)
+    e = v_cycle(restrict(r), 2.0 * cell, nu, coarsest)
     u = u + prolong(e)
     return _jacobi(u, b, cell, diag, nu)
 

@@ -151,7 +151,8 @@ def build_gram_table(
         lam, Q = np.linalg.eigh(Gs)
         keep = lam > 1e-10 * lam[-1]
         T = (Q[:, keep] / np.sqrt(lam[keep])).T * dscale[None, :]
-        B = np.asarray((sp.csr_matrix(T) @ Asub).todense())
+        # sparse @ dense: O(nnz(A) * r), vs O(m^2 nt) for a dense product
+        B = np.ascontiguousarray((Asub.T @ T.T).T)
         bmat = jnp.asarray(B, dtype)
         touched_j = jnp.asarray(touched, jnp.int32)
     elif m <= dense_cap:

@@ -52,7 +52,9 @@ from ..utils import timing
 class GridResult:
     phi: np.ndarray  # (N,) float64 host, reference flat ordering
     grid: griddom.GridSpec
-    Y: Optional[np.ndarray] = None  # (N, 3) normalized vector field
+    # (N, 3) normalized vector field; left on device (jax array) to avoid
+    # an eager host transfer — np.asarray(result.Y) pulls it when needed.
+    Y: Optional[object] = None
 
     def phi3(self) -> np.ndarray:
         return self.phi.reshape(self.grid.shape)
@@ -352,7 +354,10 @@ class GridSolver:
             phi = _mean_shift(phi, cached["src_nodes8"], cached["src_coeffs8"], cached["weights"])
 
         phi_host = np.asarray(phi, dtype=np.float64)
-        return GridResult(phi_host, grid, np.asarray(Y, dtype=np.float64))
+        # Y stays a device array: pulling (N, 3) over the TPU tunnel costs
+        # ~1.5 s at 128^3 and most callers never read it (np.asarray(res.Y)
+        # triggers the transfer on demand).
+        return GridResult(phi_host, grid, Y)
 
     def _refine(self, u, Y, cached, grid, is_mesh, options, tm=None):
         """f64 defect correction around the f32 device solve.

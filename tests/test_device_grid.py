@@ -241,7 +241,13 @@ def test_vcycle_reduces_poisson_residual():
     u = multigrid.v_cycle(b3, g.cell_size)
     r = b3 - (-stencil.laplacian_apply(u, g.cell_size))
     r = r - jnp.mean(r)
-    assert float(jnp.linalg.norm(r)) < 0.35 * float(jnp.linalg.norm(b3))
+    # nu=1 (the TPU-tuned default: smoothing sweeps dominate the per-
+    # iteration cost while CG iteration counts match nu=2) reduces ~0.41x
+    assert float(jnp.linalg.norm(r)) < 0.5 * float(jnp.linalg.norm(b3))
+    u2 = multigrid.v_cycle(b3, g.cell_size, nu=2)
+    r2 = b3 - (-stencil.laplacian_apply(u2, g.cell_size))
+    r2 = r2 - jnp.mean(r2)
+    assert float(jnp.linalg.norm(r2)) < 0.35 * float(jnp.linalg.norm(b3))
 
 
 def test_vcycle_preconditioner_is_symmetric():
