@@ -26,7 +26,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops.yukawa import _BIG
+from ..ops.yukawa import _BIG, _FAR
 
 
 def _block_update(q, sp, sv, lam, m, acc):
@@ -42,24 +42,37 @@ def _block_update(q, sp, sv, lam, m, acc):
     return m_new, acc * rescale + contrib
 
 
-def _ring_body(q, sp, sv, lam, axis_name: str, normalize: bool):
-    """Per-device program: rotate source shards around ``axis_name``."""
+def _ring_body(q, sp, sv, lam, axis_name: str, normalize: bool, q_tile: int):
+    """Per-device program: rotate source shards around ``axis_name``.
+
+    Queries are streamed in ``q_tile``-row tiles (lax.map) so the per-hop
+    (Q_local x S_local) score block never materializes — at 128^3 over 8
+    devices the untiled block would be ~7 GB."""
     n = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
+    T = q.shape[0] // q_tile
+    qr = q.reshape(T, q_tile, 3)
 
     def step(carry, _):
         m, acc, sp_cur, sv_cur = carry
-        m, acc = _block_update(q, sp_cur, sv_cur, lam, m, acc)
+
+        def tile(args):
+            qt, mt, at = args
+            return _block_update(qt, sp_cur, sv_cur, lam, mt, at)
+
+        m, acc = jax.lax.map(tile, (qr, m, acc))
         sp_nxt = jax.lax.ppermute(sp_cur, axis_name, perm)
         sv_nxt = jax.lax.ppermute(sv_cur, axis_name, perm)
         return (m, acc, sp_nxt, sv_nxt), None
 
-    m0 = jnp.full((q.shape[0], 1), _BIG, dtype=q.dtype)
-    acc0 = jnp.zeros((q.shape[0], 3), dtype=q.dtype)
+    m0 = jnp.full((T, q_tile, 1), _BIG, dtype=q.dtype)
+    acc0 = jnp.zeros((T, q_tile, 3), dtype=q.dtype)
     # mark the device-invariant initial carry as device-varying for the scan
     m0 = jax.lax.pcast(m0, (axis_name,), to="varying")
     acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
     (m, acc, _, _), _ = jax.lax.scan(step, (m0, acc0, sp, sv), None, length=n)
+    m = m.reshape(-1, 1)
+    acc = acc.reshape(-1, 3)
     if normalize:
         return acc / jnp.sqrt(jnp.sum(acc * acc, axis=1, keepdims=True))
     return acc * jnp.exp(-m)
@@ -73,16 +86,32 @@ def yukawa_field_ring(
     mesh: Mesh,
     axis_name: str = "d",
     normalize: bool = True,
+    q_tile: int = 4096,
 ) -> jnp.ndarray:
     """Ring-scheduled Yukawa field over ``mesh`` (1-D on ``axis_name``).
 
-    queries (Q, 3) and sources (S, 3) must be divisible by the axis size
-    (pad upstream with shm3d.ops.yukawa.pad_sources / zero-weight entries).
-    Returns (Q, 3) sharded like the queries.
+    Accepts arbitrary (Q, 3) queries and (S, 3) sources: both are padded
+    here to shard evenly (sources with far-away zero-weight entries, queries
+    with zeros whose garbage rows are sliced off).  Returns (Q, 3) sharded
+    like the queries.  Works inside or outside jit.
     """
+    ndev = mesh.shape[axis_name]
+    dtype = queries.dtype
+    Q = queries.shape[0]
+    S = src_points.shape[0]
+
+    Sp = -(-S // ndev) * ndev
+    if Sp != S:
+        src_points = jnp.pad(src_points, ((0, Sp - S), (0, 0)), constant_values=_FAR)
+        src_vectors = jnp.pad(src_vectors, ((0, Sp - S), (0, 0)))
+
+    t = min(q_tile, -(-Q // ndev))
+    Qp = ndev * (-(-Q // (ndev * t))) * t
+    qpad = jnp.pad(queries, ((0, Qp - Q), (0, 0))) if Qp != Q else queries
+
     body = functools.partial(
-        _ring_body, lam=jnp.asarray(lam, queries.dtype), axis_name=axis_name,
-        normalize=normalize,
+        _ring_body, lam=jnp.asarray(lam, dtype), axis_name=axis_name,
+        normalize=normalize, q_tile=t,
     )
     fn = jax.shard_map(
         lambda q, sp, sv: body(q, sp, sv),
@@ -90,4 +119,5 @@ def yukawa_field_ring(
         in_specs=(P(axis_name), P(axis_name), P(axis_name)),
         out_specs=P(axis_name),
     )
-    return fn(queries, src_points, src_vectors)
+    out = fn(qpad, src_points, src_vectors)
+    return out[:Q]

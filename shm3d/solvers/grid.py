@@ -254,10 +254,18 @@ def _laplacian_apply_np(u3: np.ndarray, cell: float) -> np.ndarray:
 
 
 class GridSolver:
-    """Stateful grid solver mirroring the reference caching contract."""
+    """Stateful grid solver mirroring the reference caching contract.
 
-    def __init__(self):
+    Pass a 1-D ``jax.sharding.Mesh`` (see shm3d.parallel.device_mesh) to run
+    multi-chip: Step 1 uses the ring schedule (sources rotate over ICI,
+    queries stay z-slab-resident) and Step 3's stencils/Krylov iterations
+    run under jit on z-slab-sharded fields with XLA-inserted halo
+    collectives.  One code path serves 1 and N devices; results match the
+    single-device solve (tests/test_parallel.py)."""
+
+    def __init__(self, mesh=None):
         self._cache = {}
+        self.mesh = mesh
 
     def compute_distance(self, geom, options: SignedHeatOptions = SignedHeatOptions()) -> GridResult:
         tm = timing.PhaseTimer(verbose=options.verbose)
@@ -294,12 +302,27 @@ class GridSolver:
         t = options.t_coef * sources.spacing ** 2
         lam = float(np.sqrt(1.0 / t))
 
+        use_mesh = self.mesh is not None
+        if use_mesh and grid.n % self.mesh.devices.size != 0:
+            tm.note(f"grid n={grid.n} not divisible by {self.mesh.devices.size} "
+                    "devices; falling back to single-device")
+            use_mesh = False
+
         with tm.phase("steps 1&2 (Yukawa convolution + normalize)"):
-            queries = _node_positions_device(
-                jnp.asarray(grid.bbox_min, dtype), jnp.asarray(grid.cell_size, dtype), grid.n, dtype
-            )
+            queries = cached.get("queries")
+            if queries is None:
+                queries = _node_positions_device(
+                    jnp.asarray(grid.bbox_min, dtype), jnp.asarray(grid.cell_size, dtype),
+                    grid.n, dtype,
+                )
+                if use_mesh:
+                    from ..parallel import shards
+
+                    queries = jax.device_put(queries, shards.node_sharding(self.mesh))
+                cached["queries"] = queries
             use_sparse = (
-                options.cull_eps > 0
+                not use_mesh
+                and options.cull_eps > 0
                 and grid.n % yukawa_sparse.BRICK == 0
                 and jax.default_backend() == "tpu"
             )
@@ -317,6 +340,12 @@ class GridSolver:
                     tm.note(f"pair list split into {n_seg} SMEM-sized segments")
                 Y = yukawa_sparse.yukawa_field_sparse(
                     queries, cached["points"], cached["vectors"], lam, plan
+                )
+            elif use_mesh:
+                from ..parallel import yukawa_field_ring
+
+                Y = yukawa_field_ring(
+                    queries, cached["points"], cached["vectors"], lam, self.mesh
                 )
             else:
                 Y = yukawa_field(queries, cached["points"], cached["vectors"], lam)

@@ -88,6 +88,51 @@ def test_sharded_stencil_matvec_matches_single(mesh8):
     np.testing.assert_allclose(np.asarray(got_D), np.asarray(expected_D), atol=1e-12)
 
 
+def test_grid_solver_mesh_matches_single_device(mesh8):
+    """Product API multi-chip: GridSolver(mesh=...) == GridSolver() — one
+    code path serves 1 and N devices (VERDICT round 1, item 6)."""
+    from shm3d.config import SignedHeatOptions
+    from shm3d.solvers.grid import GridSolver
+
+    geom = make_icosphere(2)
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-11,
+                             solver_maxiter=5000, refine_steps=0)
+    single = GridSolver().compute_distance(geom, opts)
+    sharded = GridSolver(mesh=mesh8).compute_distance(geom, opts)
+    rel = np.linalg.norm(sharded.phi - single.phi) / np.linalg.norm(single.phi)
+    assert rel < 1e-9, f"sharded vs single rel L2 {rel}"
+
+
+def test_grid_solver_mesh_indivisible_falls_back(mesh8):
+    """n=16 doesn't split over 5 devices: the solver must still produce the
+    single-device answer (with a fallback note), not crash."""
+    from shm3d.config import SignedHeatOptions
+    from shm3d.parallel import device_mesh
+    from shm3d.solvers.grid import GridSolver
+
+    geom = make_icosphere(1)
+    opts = SignedHeatOptions(dtype="float64", refine_steps=0)
+    single = GridSolver().compute_distance(geom, opts)
+    sharded = GridSolver(mesh=device_mesh(5)).compute_distance(geom, opts)
+    np.testing.assert_allclose(sharded.phi, single.phi, rtol=1e-10)
+
+
+def test_ring_yukawa_self_padding(mesh8):
+    """Ring kernel pads ragged query/source counts internally."""
+    from shm3d.geometry import sources as src_mod
+
+    src = src_mod.from_mesh(make_icosphere(1))
+    rng = np.random.default_rng(15)
+    q = rng.uniform(-2, 2, size=(101, 3))  # 101 % 8 != 0
+    lam = 2.0
+    expected = yukawa_field_xla(
+        jnp.asarray(q), jnp.asarray(src.points[:77]), jnp.asarray(src.vectors()[:77]), lam)
+    got = yukawa_field_ring(
+        jnp.asarray(q), jnp.asarray(src.points[:77]), jnp.asarray(src.vectors()[:77]),
+        lam, mesh8, q_tile=16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-10, atol=1e-12)
+
+
 def test_sharded_cg_poisson_matches_single(mesh8):
     """z-sharded CG on an SPD shifted Laplacian == single-device result."""
     n = 16
