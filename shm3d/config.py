@@ -45,6 +45,10 @@ class SignedHeatOptions:
     scale: float = 2.0
     use_crouzeix_raviart: bool = True
     fast_integration: bool = False
+    # Conforming tet domain: recover the source surface as tet faces
+    # (reference TETFLAGS_PRESERVE path, signed_heat_tet_solver.cpp:885-1016).
+    # False forces the vertex-path (non-conforming) mesh on triangle meshes.
+    conforming: bool = True
 
     # --- TPU-framework extensions (absent in the reference) ---
     # Compute dtype for the device path. float32 is the TPU-native choice;
@@ -94,4 +98,4 @@ class SignedHeatOptions:
         """Key over the options that affect the cached discretization /
         operator artifacts (reference contract: rebuild on hCoef change,
         /root/reference/src/main.cpp:146-147)."""
-        return (self.h_coef, self.scale, self.dtype)
+        return (self.h_coef, self.scale, self.dtype, self.conforming)

@@ -36,16 +36,20 @@ from ..tet.solver import TetResult, _component_rows, integrate_greedily_tet
 def solve_tet(geom, options: SignedHeatOptions = SignedHeatOptions()) -> TetResult:
     is_mesh = isinstance(geom, Mesh)
     sources = src_mod.from_geometry(geom)
+    src_faces = None
     if is_mesh:
         src_pts = geom.vertices
         labels = surf.connected_components_vertices(geom)
         dual_areas = surf.vertex_dual_areas(geom)
+        if geom.is_triangular and options.conforming:
+            src_faces = geom.triangles()
     else:
         src_pts = geom.positions
         labels = pc_geom.connected_components(geom.positions)
         dual_areas = sources.weights
     mesh = build_tet_domain(
-        src_pts, options.scale, options.h_coef, mean_area=float(np.mean(sources.weights))
+        src_pts, options.scale, options.h_coef,
+        mean_area=float(np.mean(sources.weights)), src_faces=src_faces,
     )
     dual = fem.build_dual_laplacian(mesh)
     L = dual.to_scipy()
@@ -58,6 +62,12 @@ def solve_tet(geom, options: SignedHeatOptions = SignedHeatOptions()) -> TetResu
 
     if options.fast_integration:
         phi = _greedy(mesh, Y, options, dual_areas)
+        return TetResult(phi, mesh, Y)
+
+    if mesh.conforming and options.use_crouzeix_raviart:
+        # the reference's default Step 3 for conforming triangle meshes
+        # (integrateVectorFieldToFaces, signed_heat_tet_solver.cpp:234-317)
+        phi = solve_cr(mesh, geom, Y, options)
         return TetResult(phi, mesh, Y)
 
     mode = options.level_set_constraint
@@ -83,8 +93,12 @@ def solve_tet(geom, options: SignedHeatOptions = SignedHeatOptions()) -> TetResu
         phi = soln[:n]
         phi = phi - _shift(phi, mesh, dual_areas)
     else:
-        # singular: take any particular solution, shift fixes the constant
-        phi = spla.lsqr(L.tocsc(), div, atol=1e-14, btol=1e-14, iter_lim=20000)[0]
+        # singular: exact zero-mean particular solution via a bordered
+        # (mean-constraint) direct solve; the shift fixes the constant
+        ones = np.ones((n, 1))
+        B = sp.bmat([[L, ones], [ones.T, None]], format="csc")
+        rhs = div - np.mean(div)
+        phi = spla.spsolve(B, np.concatenate([rhs, [0.0]]))[:n]
         phi = phi - _shift(phi, mesh, dual_areas)
     return TetResult(phi, mesh, Y)
 
@@ -100,6 +114,71 @@ def _greedy(mesh: TetMesh, Y: np.ndarray, options: SignedHeatOptions, dual_areas
         return integrate_greedily_tet(mesh, Y, np.unique(mesh.src_vertex))
     phi = integrate_greedily_tet(mesh, Y, np.array([0]))
     return phi - _shift(phi, mesh, dual_areas)
+
+
+def solve_cr(mesh, geom, Y: np.ndarray, options: SignedHeatOptions) -> np.ndarray:
+    """Direct-solve oracle for the full Crouzeix-Raviart Step 3 on a
+    conforming mesh (all 3 constraint modes + L2 projection), mirroring
+    tet.cr_solver.CRPath.integrate so the device path can be verified
+    against it (reference :234-317)."""
+    from ..tet import fem as fem_mod
+    from ..tet.cr_solver import face_component_rows
+
+    cr = fem_mod.build_cr_operators(mesh)
+    L = cr.L_scipy()
+    div = cr.divergence_np(Y)
+    nf = cr.n_faces
+    sfids = np.asarray(mesh.surface_faces, dtype=np.int64)
+    sub_areas = mesh.face_areas()[sfids]
+    mode = options.level_set_constraint
+
+    if mode == LevelSetConstraint.ZERO_SET:
+        keep = np.ones(nf, dtype=bool)
+        keep[sfids] = False
+        interior = np.nonzero(keep)[0]
+        phi_f = np.zeros(nf)
+        LII = L[interior][:, interior].tocsc()
+        phi_f[interior] = spla.splu(LII).solve(div[interior])
+    elif mode == LevelSetConstraint.MULTIPLE:
+        comp = surf.connected_components_faces(geom)[mesh.surface_parent]
+        roots, members = face_component_rows(sfids, comp)
+        m = roots.shape[0]
+        H = (-L).tocsr()
+        A = sp.coo_matrix(
+            (
+                np.concatenate([np.ones(m), -np.ones(m)]),
+                (np.concatenate([np.arange(m), np.arange(m)]),
+                 np.concatenate([roots, members])),
+            ),
+            shape=(m, nf),
+        ).tocsr()
+        KKT = sp.bmat([[H, A.T], [A, None]], format="csc")
+        rhs = np.concatenate([-div, np.zeros(m)])
+        soln = spla.spsolve(KKT, rhs)
+        phi_f = soln[:nf]
+        phi_f = phi_f - _face_shift(phi_f, sfids, sub_areas)
+    else:
+        # exact zero-mean solution of the singular system via a bordered
+        # (mean-constraint) direct solve; the device path's mean-projected
+        # CG converges to the same representative, and the surface shift
+        # cancels any constant difference
+        H = (-L).tocsr()
+        ones = np.ones((nf, 1))
+        B = sp.bmat([[H, ones], [ones.T, None]], format="csc")
+        soln = spla.spsolve(B, np.concatenate([-div - np.mean(-div), [0.0]]))
+        phi_f = soln[:nf]
+        phi_f = phi_f - _face_shift(phi_f, sfids, sub_areas)
+
+    A = cr.A_scipy()
+    M = cr.M_scipy()
+    P = (A.T @ M @ A).tocsc()
+    return spla.spsolve(P, A.T @ (M @ phi_f))
+
+
+def _face_shift(phi_f: np.ndarray, sfids: np.ndarray, areas: np.ndarray) -> float:
+    """Area-weighted mean of phi over the surface (sub-)faces
+    (averageFaceDataOnSource, signed_heat_tet_solver.cpp:558-573)."""
+    return float(np.sum(areas * phi_f[sfids]) / np.sum(areas))
 
 
 def solve_cr_zeroset(mesh, surface_faces: np.ndarray, Y: np.ndarray, tol: float = 1e-12):

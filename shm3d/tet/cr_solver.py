@@ -7,10 +7,12 @@ conforms to the surface (``useCrouzeixRaviart=true``,
 tet faces lying on the source surface, then an L2 projection onto vertices
 and a final sign flip (the reference returns ``-phi``, :316).
 
-The stuffing mesher does not produce surface-conforming meshes, so this
-path activates only for externally-supplied conforming meshes (or the
-lattice-aligned fixtures in the tests); the solver verifies that every
-source face exists among the tet faces before using it.
+The mesher's conforming recovery (shm3d.tet.conforming) makes this the
+active default for triangle meshes: the recovered surface is a union of tet
+faces (input faces possibly subdivided into coplanar sub-faces), and the
+constraints/mean shift act on those sub-faces — the same geometric surface
+the reference pins.  Externally-supplied conforming meshes are detected via
+``find_surface_faces``.
 
 All solves are matrix-free segment-sum matvecs + (chunked) CG/MINRES like
 the vertex path.
@@ -143,6 +145,27 @@ def _project_chunk(bvec, x0, p_rows, p_cols, p_vals, p_diag, nv: int, tol: float
     return res.x, res.iterations, res.residual
 
 
+def face_component_rows(surface_faces: np.ndarray, components) -> Tuple[np.ndarray, np.ndarray]:
+    """MULTIPLE-mode equality rows over surface faces: the first face of
+    each component is its root; every later face gets a (root, member) row
+    (reference per-component DFS emission, signed_heat_tet_solver.cpp:256-285).
+    Shared by the device path and the SciPy oracle so both solve the same
+    KKT system."""
+    comp = np.asarray(components)
+    surface_faces = np.asarray(surface_faces, dtype=np.int64)
+    roots, members = [], []
+    seen = {}
+    for local_idx, c in enumerate(comp):
+        g = int(surface_faces[local_idx])
+        c = int(c)
+        if c not in seen:
+            seen[c] = g
+            continue
+        roots.append(seen[c])
+        members.append(g)
+    return np.asarray(roots, np.int64), np.asarray(members, np.int64)
+
+
 class CRPath:
     """Prepared CR operators for one conforming (mesh, surface) pair."""
 
@@ -192,6 +215,7 @@ class CRPath:
         self.arrays["am_cols"] = jnp.asarray(AtM.col[order2], jnp.int32)
         self.arrays["am_vals"] = jnp.asarray(AtM.data[order2], dtype)
         self.dtype = dtype
+        self.last_stats = {}
 
     def integrate(self, Y, options: SignedHeatOptions, src_face_components=None,
                   src_face_areas=None) -> jnp.ndarray:
@@ -199,7 +223,7 @@ class CRPath:
         a = self.arrays
         nf = self.nf
         nv = self.mesh.n_vertices
-        tol, maxiter = options.solver_tol, options.solver_maxiter
+        tol, maxiter = options.resolved_solver_tol(), options.solver_maxiter
         div = _cr_divergence(Y, a["divf"], a["divt"], a["divn"], nf)
 
         mode = options.level_set_constraint
@@ -207,31 +231,22 @@ class CRPath:
             fn = lambda x0, c: _cr_zeroset_chunk(
                 div, x0, a["rows"], a["cols"], a["vals"], a["diag"], a["surf_mask"],
                 tol=tol, chunk=c)
-            phi_f, _, _ = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
+            phi_f, it1, r1 = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
         elif mode == LevelSetConstraint.MULTIPLE:
-            comp = np.asarray(src_face_components)
-            roots, members = [], []
-            seen = {}
-            for local_idx, c in enumerate(comp):
-                g = int(self.surface_faces[local_idx])
-                if c not in seen:
-                    seen[c] = g
-                    continue
-                roots.append(seen[c])
-                members.append(g)
-            comp_root = jnp.asarray(np.asarray(roots, np.int64), jnp.int32)
-            comp_member = jnp.asarray(np.asarray(members, np.int64), jnp.int32)
+            roots, members = face_component_rows(self.surface_faces, src_face_components)
+            comp_root = jnp.asarray(roots, jnp.int32)
+            comp_member = jnp.asarray(members, jnp.int32)
             m = comp_root.shape[0]
             fn = lambda x0, c: _cr_multiple_chunk(
                 div, x0, a["rows"], a["cols"], a["vals"], a["diag"],
                 comp_root, comp_member, nf=nf, tol=tol, chunk=c)
-            x, _, _ = _run_chunked(fn, jnp.zeros(nf + m, self.dtype), tol, maxiter)
+            x, it1, r1 = _run_chunked(fn, jnp.zeros(nf + m, self.dtype), tol, maxiter)
             phi_f = x[:nf]
             phi_f = phi_f - self._face_shift(phi_f, src_face_areas)
         else:
             fn = lambda x0, c: _cr_none_chunk(
                 div, x0, a["rows"], a["cols"], a["vals"], a["diag"], tol=tol, chunk=c)
-            phi_f, _, _ = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
+            phi_f, it1, r1 = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
             phi_f = phi_f - self._face_shift(phi_f, src_face_areas)
 
         # L2 projection to vertices: (A^T M A) w = A^T M phi_f
@@ -242,7 +257,9 @@ class CRPath:
         fnp = lambda x0, c: _project_chunk(
             b, x0, a["p_rows"], a["p_cols"], a["p_vals"], a["p_diag"],
             nv=nv, tol=tol, chunk=c)
-        w, _, _ = _run_chunked(fnp, jnp.zeros(nv, self.dtype), tol, maxiter)
+        w, it2, r2 = _run_chunked(fnp, jnp.zeros(nv, self.dtype), tol, maxiter)
+        self.last_stats = {"iters": int(it1), "residual": float(r1),
+                           "proj_iters": int(it2), "proj_residual": float(r2)}
         # The reference returns -phi here (:316) to compensate its internal
         # divergence sign convention; our faceDivergence is built from
         # outward-positive signed normals (mesher tet_face_sign), which

@@ -251,7 +251,15 @@ def build_cr_operators(mesh: TetMesh) -> CROperators:
 
     scale = np.maximum(vols.max(), 1e-300)
     good = vols > 1e-14 * scale
-    inv_vol = np.where(good, 1.0 / np.where(good, vols, 1.0), 0.0)
+    # Sliver regularization: the CR stiffness scales as 1/vol
+    # (reference :623-648), so near-degenerate recovery tets produce huge
+    # near-singular couplings that stall Krylov solves.  Clamping the
+    # effective volume to a fraction of the median caps the condition
+    # number; the perturbation is local to slivers and the SciPy oracle
+    # builds the identical operator, so device/oracle parity is exact.
+    med = np.median(vols[good]) if good.any() else 1.0
+    vol_eff = np.maximum(vols, 1e-3 * med)
+    inv_vol = np.where(good, 1.0 / vol_eff, 0.0)
 
     Lr, Lc, Lv = [], [], []
     Mr, Mc, Mv = [], [], []

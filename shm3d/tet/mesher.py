@@ -20,22 +20,29 @@ This module is a from-scratch re-design rather than a Delaunay port: a
    - **split**: otherwise the containing tet is split 1->4 around the point
      (on-face points split both adjacent tets 1->3 each, on-edge points
      split the full edge ring 1->2 each, coincident points are deduplicated).
+3. when source *faces* are supplied, the surface is **recovered** so that it
+   becomes an exact union of tet faces (shm3d.tet.conforming): every source
+   edge is recovered as a chain of mesh edges by walk-and-split Steiner
+   insertion along the segment, then every source face by eliminating mesh
+   edges that pierce its interior.  This is the TPU-era equivalent of the
+   reference's conforming tetrahedralization (TETFLAGS_PRESERVE at
+   signed_heat_tet_solver.cpp:967; surface-face identification :983-1011);
+   input faces may be subdivided into coplanar sub-faces, which preserves
+   the Crouzeix-Raviart constraint semantics exactly (the same geometric
+   surface is pinned).
 
 No exact geometric predicates, no incremental Delaunay; deterministic and
 array-based with a small Python driver loop (native C++ version of the same
 algorithm in native/lattice_tet.cpp).  The resulting mesh preserves the
 reference's *vertex-index contract*: source vertices occupy indices 0..V-1
 (ZeroSet Dirichlet pinning and greedy BFS seeding depend on this,
-reference :169-180,417-425,451-458).  Surface *faces* are not preserved
-(the reference's fully-conforming path); ``conforming=False`` always, which
-routes Step 3 through the vertex (dual-Laplacian) path exactly like the
-reference's polygon/TetGen-failure fallback.  The Crouzeix-Raviart face path
-remains available for conforming meshes supplied externally.
+reference :169-180,417-425,451-458).
 """
 
 from __future__ import annotations
 
 import dataclasses
+import warnings
 from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
@@ -59,6 +66,16 @@ _OPP = ((1, 2, 3), (0, 3, 2), (0, 1, 3), (0, 2, 1))
 SNAP_ALPHA = 0.35  # max snap displacement as a fraction of the lattice cell
 
 
+def _norm3(v) -> float:
+    """sqrt(x^2+y^2+z^2) in C++-matching scalar order (np.linalg.norm on a
+    single vector calls BLAS dnrm2, whose scaled algorithm rounds
+    differently and breaks native/python bit parity)."""
+    x, y, z = float(v[0]), float(v[1]), float(v[2])
+    import math
+
+    return math.sqrt(x * x + y * y + z * z)
+
+
 @dataclasses.dataclass
 class TetMesh:
     """Array-based tet mesh with the adjacency the solver needs.
@@ -72,6 +89,12 @@ class TetMesh:
     :1302-1308); n_src: source vertices occupy ids 0..n_src-1; src_vertex
     (V,) maps each input vertex to its mesh vertex (duplicates possible only
     for coincident inputs); n_snapped/n_split: insertion statistics.
+
+    Conforming meshes (surface recovered, reference :885-1016) additionally
+    carry: surface_faces (S,) global face ids tiling the source surface;
+    surface_parent (S,) input-face index each sub-face belongs to;
+    surface_orient (S,) +1 where the stored face orientation's normal agrees
+    with the input face normal (reference orientation matching :983-1011).
     """
 
     vertices: np.ndarray
@@ -86,6 +109,9 @@ class TetMesh:
     n_snapped: int = 0
     n_split: int = 0
     conforming: bool = False
+    surface_faces: Optional[np.ndarray] = None
+    surface_parent: Optional[np.ndarray] = None
+    surface_orient: Optional[np.ndarray] = None
 
     @property
     def n_vertices(self) -> int:
@@ -110,6 +136,11 @@ class TetMesh:
     def face_barycenters(self) -> np.ndarray:
         return self.vertices[self.faces].mean(axis=1)
 
+    def face_areas(self) -> np.ndarray:
+        tri = self.vertices[self.faces]
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        return 0.5 * np.linalg.norm(n, axis=1)
+
     def mean_node_spacing(self) -> float:
         """Mean pairwise distance of the 4 face barycenters per tet
         (reference computeMeanNodeSpacing, signed_heat_tet_solver.cpp:1312-1328)."""
@@ -120,9 +151,23 @@ class TetMesh:
                 acc += np.linalg.norm(fb[:, j] - fb[:, k], axis=1).sum()
         return float(acc / (6 * self.n_tets))
 
+    def validate(self) -> None:
+        """Complex sanity: positive volumes; every face incident to <= 2 tets
+        with opposite outward orientations (raises AssertionError)."""
+        vols = self.tet_volumes()
+        assert (vols > 0).all(), f"{int((vols <= 0).sum())} non-positive tets"
+        nf = self.n_faces
+        cnt = np.zeros(nf, dtype=np.int64)
+        sgn = np.zeros(nf, dtype=np.int64)
+        np.add.at(cnt, self.tet_face.reshape(-1), 1)
+        np.add.at(sgn, self.tet_face.reshape(-1), self.tet_face_sign.reshape(-1))
+        assert cnt.max() <= 2, "face shared by >2 tets"
+        interior = cnt == 2
+        assert (sgn[interior] == 0).all(), "interior face with same-side tets"
+
 
 def _lattice_resolution(
-    half_side: float, mean_area: float, h_coef: float, cap: int = 64
+    half_side: float, mean_area: float, h_coef: float, cap: int = 96
 ) -> int:
     """Cells per axis.  The reference drives refinement with TetGen's
     max-tet-volume = 2^-hCoef * meanFaceArea (signed_heat_tet_solver.cpp:16-23);
@@ -136,8 +181,6 @@ def _lattice_resolution(
     cell = (6.0 * maxvol) ** (1.0 / 3.0)
     n = int(np.ceil(2.0 * half_side / cell))
     if n > cap:
-        import warnings
-
         warnings.warn(
             f"tet lattice resolution {n} exceeds the cap {cap}; hCoef-driven "
             f"refinement saturates (pass resolution=/lattice_cap= to raise it)",
@@ -146,18 +189,28 @@ def _lattice_resolution(
     return int(np.clip(n, 8, cap))
 
 
+class ConformingError(RuntimeError):
+    """Surface recovery failed; callers fall back to the non-conforming
+    (vertex-path) mesh, mirroring the reference's TetGen-failure fallback
+    (signed_heat_tet_solver.cpp:966-977,24-33)."""
+
+
 class _MeshBuilder:
     """Base Kuhn lattice as one NumPy array + copy-on-write cells for splits.
 
     The base lattice (ncells * 6 tets) is a single int64 array; snapping only
     moves vertex positions.  Split insertion materializes per-cell buckets
-    lazily: replaced base tets are flagged dead, children live in
-    ``extra_tets`` and are indexed through ``cell_extra``."""
+    lazily: replaced base tets are flagged dead, children live in a growing
+    ``extra`` tet array indexed through ``cell_extra``.  ``constrained``
+    marks vertices that lie exactly on a source constraint (vertex, edge or
+    face); only unconstrained vertices may be moved by recovery snapping."""
 
     def __init__(self, nodes: np.ndarray, nl: int, npts: int, bmin, h: float):
         self.nl, self.npts, self.bmin, self.h = nl, npts, np.asarray(bmin), h
         self.positions = nodes.copy()          # (n_nodes, 3), mutated by snaps
-        self.extra_verts: List[np.ndarray] = []
+        self._n0 = nodes.shape[0]
+        self._ev = np.empty((256, 3), dtype=np.float64)   # extra verts (grow)
+        self._nev = 0
 
         dx, dy, dz = 1, npts, npts * npts
         corner_off = np.array([0, dx, dy, dx + dy, dz, dx + dz, dy + dz, dx + dy + dz])
@@ -167,22 +220,44 @@ class _MeshBuilder:
         corners = c000[:, None] + corner_off[None, :]          # (ncells, 8)
         self.base_tets = corners[:, _KUHN_TETS].reshape(-1, 4)  # cell c -> tets 6c..6c+5
         self.base_dead = np.zeros(self.base_tets.shape[0], dtype=bool)
-        self.extra_tets: List[Tuple[int, int, int, int]] = []
-        self.extra_dead: List[bool] = []
+        self._et = np.empty((1024, 4), dtype=np.int64)    # extra tets (grow)
+        self._et_dead = np.zeros(1024, dtype=bool)
+        self._net = 0
         self.cell_extra: Dict[int, List[int]] = {}
-        # lex cell index (i, j, k) -> i + j*nl + k*nl^2
-        KK, JJ, II = np.meshgrid(ci, ci, ci, indexing="ij")
-        self._cell_lex = (II + JJ * nl + KK * nl * nl).reshape(-1)
-        self._lex_to_row = np.empty(nl ** 3, dtype=np.int64)
-        self._lex_to_row[self._cell_lex] = np.arange(nl ** 3)
+        self.constrained: Set[int] = set()
+        # lex cell index (i, j, k) -> i + j*nl + k*nl^2; base tets of cell lex
+        # occupy rows 6*lex..6*lex+5 by construction
+
+    # -- vertices
+
+    def n_verts(self) -> int:
+        return self._n0 + self._nev
 
     def vert(self, vid: int) -> np.ndarray:
-        n0 = self.positions.shape[0]
-        return self.positions[vid] if vid < n0 else self.extra_verts[vid - n0]
+        return self.positions[vid] if vid < self._n0 else self._ev[vid - self._n0]
+
+    def verts_of(self, ids: np.ndarray) -> np.ndarray:
+        ids = np.asarray(ids, dtype=np.int64)
+        out = np.empty(ids.shape + (3,), dtype=np.float64)
+        m = ids < self._n0
+        out[m] = self.positions[ids[m]]
+        out[~m] = self._ev[ids[~m] - self._n0]
+        return out
 
     def add_vert(self, p: np.ndarray) -> int:
-        self.extra_verts.append(np.asarray(p, dtype=np.float64))
-        return self.positions.shape[0] + len(self.extra_verts) - 1
+        if self._nev == self._ev.shape[0]:
+            self._ev = np.concatenate([self._ev, np.empty_like(self._ev)], axis=0)
+        self._ev[self._nev] = np.asarray(p, dtype=np.float64)
+        self._nev += 1
+        return self._n0 + self._nev - 1
+
+    def _set_vert(self, vid: int, p: np.ndarray) -> None:
+        if vid < self._n0:
+            self.positions[vid] = p
+        else:
+            self._ev[vid - self._n0] = p
+
+    # -- cells
 
     def cell_of(self, p: np.ndarray) -> Tuple[int, int, int]:
         ijk = np.floor((p - self.bmin) / self.h).astype(np.int64)
@@ -191,120 +266,401 @@ class _MeshBuilder:
     def cell_lex(self, i, j, k) -> int:
         return i + j * self.nl + k * self.nl * self.nl
 
-    def nearby_tets(self, p: np.ndarray, rings: int = 1) -> List[int]:
-        """Live tet ids (base ids < 6*ncells, extras offset) near p."""
-        ci, cj, ck = self.cell_of(p)
+    def live_tets_in_cells(self, irange, jrange, krange) -> List[int]:
+        """Live tet ids over a cell box (base ids < 6*ncells, extras offset,
+        deduplicated — snaps may double-bucket extra tets)."""
         out: List[int] = []
         nbase = self.base_tets.shape[0]
-        for di in range(-rings, rings + 1):
-            for dj in range(-rings, rings + 1):
-                for dk in range(-rings, rings + 1):
-                    i, j, k = ci + di, cj + dj, ck + dk
-                    if not (0 <= i < self.nl and 0 <= j < self.nl and 0 <= k < self.nl):
-                        continue
+        seen_extra: Set[int] = set()
+        for k in krange:
+            for j in jrange:
+                for i in irange:
                     lex = self.cell_lex(i, j, k)
-                    row = self._lex_to_row[lex]
-                    for t in range(6 * row, 6 * row + 6):
+                    for t in range(6 * lex, 6 * lex + 6):
                         if not self.base_dead[t]:
                             out.append(t)
-                    for t in self.cell_extra.get(lex, ()):  # extra ids offset
-                        if not self.extra_dead[t]:
-                            out.append(nbase + t)
+                    for e in self.cell_extra.get(lex, ()):
+                        if not self._et_dead[e] and e not in seen_extra:
+                            seen_extra.add(e)
+                            out.append(nbase + e)
         return out
 
-    def tet_verts(self, tid: int):
+    def nearby_tets(self, p: np.ndarray, rings: int = 1) -> List[int]:
+        ci, cj, ck = self.cell_of(p)
+        lo = lambda c: max(c - rings, 0)
+        hi = lambda c: min(c + rings, self.nl - 1) + 1
+        return self.live_tets_in_cells(
+            range(lo(ci), hi(ci)), range(lo(cj), hi(cj)), range(lo(ck), hi(ck))
+        )
+
+    # -- tets
+
+    def tet_verts(self, tid: int) -> Tuple[int, int, int, int]:
         nbase = self.base_tets.shape[0]
         if tid < nbase:
             return tuple(int(v) for v in self.base_tets[tid])
-        return self.extra_tets[tid - nbase]
+        return tuple(int(v) for v in self._et[tid - nbase])
+
+    def tets_of(self, tids) -> np.ndarray:
+        tids = np.asarray(tids, dtype=np.int64)
+        nbase = self.base_tets.shape[0]
+        out = np.empty((tids.shape[0], 4), dtype=np.int64)
+        m = tids < nbase
+        out[m] = self.base_tets[tids[m]]
+        out[~m] = self._et[tids[~m] - nbase]
+        return out
+
+    def vert_tets(self, vid: int) -> List[int]:
+        """All live tets incident to vertex vid (cell-local search; any
+        vertex's star lies within one ring of its position's cell)."""
+        p = self.vert(vid)
+        return [t for t in self.nearby_tets(p, rings=1) if vid in self.tet_verts(t)]
+
+    def edge_exists(self, u: int, v: int) -> bool:
+        for tid in self.vert_tets(u):
+            if v in self.tet_verts(tid):
+                return True
+        return False
 
     def _bary(self, tid: int, p: np.ndarray) -> np.ndarray:
-        a, b, c, d = (self.vert(v) for v in self.tet_verts(tid))
-        M = np.column_stack([b - a, c - a, d - a])
-        try:
-            w = np.linalg.solve(M, p - a)
-        except np.linalg.LinAlgError:
+        # Cramer's rule in scalar arithmetic, operation-order-identical to
+        # the C++ core (native/lattice_tet.cpp Builder::bary) so both
+        # implementations make bit-identical location/classification choices
+        # (BLAS-backed np.dot rounds differently and flips ties)
+        va, vb, vc, vd = (self.vert(v) for v in self.tet_verts(tid))
+        ax, ay, az = float(va[0]), float(va[1]), float(va[2])
+        ux, uy, uz = float(vb[0]) - ax, float(vb[1]) - ay, float(vb[2]) - az
+        vx, vy, vz = float(vc[0]) - ax, float(vc[1]) - ay, float(vc[2]) - az
+        wx, wy, wz = float(vd[0]) - ax, float(vd[1]) - ay, float(vd[2]) - az
+        rx, ry, rz = float(p[0]) - ax, float(p[1]) - ay, float(p[2]) - az
+        cx, cy, cz = vy * wz - vz * wy, vz * wx - vx * wz, vx * wy - vy * wx
+        det = ux * cx + uy * cy + uz * cz
+        if abs(det) < 1e-300:
             return np.array([-1.0, -1, -1, -1])
-        return np.array([1.0 - w.sum(), w[0], w[1], w[2]])
+        b1 = (rx * cx + ry * cy + rz * cz) / det
+        c2x, c2y, c2z = ry * wz - rz * wy, rz * wx - rx * wz, rx * wy - ry * wx
+        b2 = (ux * c2x + uy * c2y + uz * c2z) / det
+        c3x, c3y, c3z = vy * rz - vz * ry, vz * rx - vx * rz, vx * ry - vy * rx
+        b3 = (ux * c3x + uy * c3y + uz * c3z) / det
+        return np.array([1.0 - b1 - b2 - b3, b1, b2, b3])
 
     def _replace(self, tid: int, new_tets) -> None:
         nbase = self.base_tets.shape[0]
         if tid < nbase:
             self.base_dead[tid] = True
         else:
-            self.extra_dead[tid - nbase] = True
+            self._et_dead[tid - nbase] = True
         for nt in new_tets:
-            eid = len(self.extra_tets)
-            self.extra_tets.append(tuple(int(v) for v in nt))
-            self.extra_dead.append(False)
-            bary = np.mean([self.vert(v) for v in nt], axis=0)
+            if self._net == self._et.shape[0]:
+                self._et = np.concatenate([self._et, np.empty_like(self._et)], axis=0)
+                self._et_dead = np.concatenate(
+                    [self._et_dead, np.zeros_like(self._et_dead)], axis=0)
+            eid = self._net
+            self._et[eid] = nt
+            self._et_dead[eid] = False
+            self._net += 1
+            va, vb, vc, vd = (self.vert(int(v)) for v in nt)
+            bary = (va + vb + vc + vd) * 0.25  # C++-matching arithmetic order
             ci, cj, ck = self.cell_of(bary)
             self.cell_extra.setdefault(self.cell_lex(ci, cj, ck), []).append(eid)
 
-    def insert_point(self, p: np.ndarray, eps: float) -> Tuple[int, str]:
-        """Insert p as an exact mesh vertex; returns (vertex id, how)."""
-        cand = self.nearby_tets(p, rings=0) or self.nearby_tets(p, rings=1)
-        best_tid, best_bary, best_min = -1, None, -np.inf
-        for tid in cand:
-            bary = self._bary(tid, p)
-            mn = bary.min()
-            if mn > best_min:
-                best_tid, best_bary, best_min = tid, bary, mn
-            if mn > eps:
+    def _try_move(self, vid: int, p: np.ndarray) -> bool:
+        """Move vertex vid to p if no incident tet degenerates (recovery
+        snapping, the isosurface-stuffing-style warp that avoids slivers)."""
+        inc = self.vert_tets(vid)
+        if not inc:
+            return False
+        old = self.vert(vid).copy()
+        self._set_vert(vid, p)
+        floor = 1e-12 * self.h ** 3
+        for tid in inc:
+            t = self.tet_verts(tid)
+            va, vb, vc, vd = (self.vert(v) for v in t)
+            ux, uy, uz = vb[0] - va[0], vb[1] - va[1], vb[2] - va[2]
+            vx, vy, vz = vc[0] - va[0], vc[1] - va[1], vc[2] - va[2]
+            wx, wy, wz = vd[0] - va[0], vd[1] - va[1], vd[2] - va[2]
+            vol = ((uy * vz - uz * vy) * wx + (uz * vx - ux * vz) * wy
+                   + (ux * vy - uy * vx) * wz) / 6.0
+            if vol <= floor:
+                self._set_vert(vid, old)
+                return False
+        # re-bucket extra tets whose barycenter cell may have shifted
+        nbase = self.base_tets.shape[0]
+        for tid in inc:
+            if tid >= nbase:
+                eid = tid - nbase
+                va, vb, vc, vd = (self.vert(v) for v in self.tet_verts(tid))
+                bary = (va + vb + vc + vd) * 0.25
+                lex = self.cell_lex(*self.cell_of(bary))
+                lst = self.cell_extra.setdefault(lex, [])
+                if eid not in lst:
+                    lst.append(eid)
+        return True
+
+    def weld_vertex_face(self, cur: int, tid: int) -> bool:
+        """Vertex-face weld: tet ``tid`` has vertex ``cur`` lying almost on
+        its opposite face f (a minimal pancake that blocks edge walks).
+        Remove the pancake and re-tetrahedralize its neighbor across f into
+        3 tets through cur (the 2-3-flip family): the union (bipyramid over
+        f with apexes cur and the neighbor's apex) is exactly retiled.
+        Refuses when a child would be degenerate.  Destroying faces is safe
+        here: welds run only during edge recovery (before any face tiling
+        exists), and a weld never removes a mesh EDGE — every edge of the
+        two dead tets survives in the replacement children — so recovered
+        chains are preserved."""
+        t = self.tet_verts(tid)
+        if cur not in t:
+            return False
+        f = [v for v in t if v != cur]
+        fset = set(f)
+        neighbor = -1
+        for other in self.nearby_tets(self.vert(cur), rings=1):
+            if other != tid and fset.issubset(self.tet_verts(other)):
+                neighbor = other
                 break
-        if best_tid < 0:
-            raise RuntimeError("point location failed")
+        if neighbor < 0:
+            return False
+        to = self.tet_verts(neighbor)
+        children = []
+        for j in range(4):
+            if to[j] in fset:
+                nt = list(to)
+                nt[j] = cur
+                children.append(tuple(nt))
+        tiny = 1e-11 * self.h ** 3
+        q = self.vert(cur)
+        new_sum = 0.0
+        for ch in children:
+            v = self._child_vol(tuple(-1 if x == cur else x for x in ch), q)
+            if v <= tiny:
+                return False
+            new_sum += v
+        old_sum = (self._child_vol(t, q) + self._child_vol(self.tet_verts(neighbor), q))
+        # volume conservation: a folded retiling double-counts volume
+        if abs(new_sum - old_sum) > 1e-9 * old_sum + tiny:
+            return False
+        self._replace(tid, [])
+        self._replace(neighbor, children)
+        return True
+
+    def collapse_into(self, w: int, keep: int) -> bool:
+        """Edge collapse: merge unconstrained vertex w into keep (standard
+        micro-feature removal).  Tets containing both vanish; the rest of
+        w's star is rewritten with w -> keep.  Refuses on constrained w or
+        any resulting degenerate/inverted tet."""
+        if w in self.constrained or w == keep:
+            return False
+        star = self.vert_tets(w)
+        if not star:
+            return False
+        tiny = 1e-11 * self.h ** 3
+        q = self.vert(keep)
+        plans = []
+        old_sum = 0.0
+        new_sum = 0.0
+        for tid in star:
+            t = self.tet_verts(tid)
+            old_sum += self._child_vol(t, q)
+            if keep in t:
+                plans.append((tid, None))  # collapses away
+                continue
+            nt = tuple(keep if x == w else x for x in t)
+            probe = tuple(-1 if x == keep else x for x in nt)
+            v = self._child_vol(probe, q)
+            if v <= tiny:
+                return False
+            new_sum += v
+            plans.append((tid, nt))
+        # volume conservation: a folded star double-counts volume
+        if abs(new_sum - old_sum) > 1e-9 * old_sum + tiny:
+            return False
+        for tid, nt in plans:
+            self._replace(tid, [] if nt is None else [nt])
+        return True
+
+    def insert_point(self, p: np.ndarray, eps: float, snap_tol: float = 0.0,
+                     dedup_tol: Optional[float] = None, project: bool = False,
+                     ) -> Tuple[int, str]:
+        """Insert p as a mesh vertex; returns (vertex id, how).
+        With snap_tol > 0, an unconstrained mesh vertex within snap_tol of p
+        is moved onto p instead of splitting (sliver avoidance).  With
+        project=True, a point classified on a face/edge is projected exactly
+        onto that feature's plane/line before splitting — a split through a
+        point epsilon OFF its feature creates inverted/degenerate children
+        that corrupt the complex; projection moves the point by at most
+        ~eps * cell, which the recovery tolerance ladder absorbs."""
+        # locate: widen the search while the best candidate is not clearly
+        # interior — a point on a cell boundary can sit in a tet bucketed in
+        # a neighboring cell, and a mislocated insert corrupts the complex
+        best_tid, best_bary, best_min = -1, None, -np.inf
+        for rings in (0, 1, 2):
+            for tid in self.nearby_tets(p, rings=rings):
+                bary = self._bary(tid, p)
+                mn = bary.min()
+                if mn > best_min:
+                    best_tid, best_bary, best_min = tid, bary, mn
+                if mn > eps:
+                    break
+            if best_min > -eps:
+                break
+        if best_tid < 0 or best_min < -1e-5:
+            raise RuntimeError(
+                f"point location failed (best min-bary {best_min:.3e})")
         tid, bary = best_tid, best_bary
         tet = self.tet_verts(tid)
 
         # dedup by actual distance (barycentrics are unreliable in slivers)
-        vdist = [float(np.linalg.norm(self.vert(v) - p)) for v in tet]
+        if dedup_tol is None:
+            dedup_tol = 1e-12 * self.h + 1e-12
+        vdist = [_norm3(self.vert(v) - p) for v in tet]
         jmin = int(np.argmin(vdist))
-        if vdist[jmin] <= 1e-12 * self.h + 1e-12:
+        if vdist[jmin] <= dedup_tol:
             return tet[jmin], "dedup"
 
-        zero = [j for j in range(4) if bary[j] <= eps]
-        if len(zero) == 3:  # barycentric vertex hit but not coincident: treat
-            zero = []       # as interior (sliver child, kept exact)
+        if snap_tol > 0.0:
+            for j in np.argsort(vdist, kind="stable"):
+                if vdist[j] > snap_tol:
+                    break
+                w = tet[int(j)]
+                if w in self.constrained:
+                    continue
+                if self._try_move(w, p):
+                    return w, "snap"
 
-        pid = self.add_vert(p)
+        # classify by ABSOLUTE distance to the located tet's face planes:
+        # barycentric classification scales with the tet's shape, so inside
+        # slivers it misjudges distances by orders of magnitude and lets
+        # children collapse; absolute distances lower-bound every new
+        # child's height by d_tol
+        d_tol = eps * self.h
+        dists = [self._face_plane_dist(tet, j, p) for j in range(4)]
+        order_d = sorted(range(4), key=lambda j: dists[j])
+        n_zero = min(sum(1 for d in dists if d <= d_tol), 2)
 
+        # try zero-set sizes in order: the natural classification first,
+        # then the alternatives (both finer and coarser) — committing the
+        # first split plan whose children all clear the volume floor.  A
+        # split through a point epsilon OFF its feature creates inverted or
+        # collapsed children that corrupt every later operation nearby; the
+        # floor is RELATIVE to each parent (thin-but-valid parents may
+        # legally split into proportionally thin children), with a tiny
+        # absolute backstop.
+        tiny = 1e-11 * self.h ** 3  # above the double-precision volume noise
+        sizes = [n_zero] + [k for k in (2, 1, 0) if k != n_zero]
+        for k in sizes:
+            zero = sorted(order_d[:k])
+            q = self._feature_point(p, tet, zero, project)
+            plan, how = self._split_plan(tid, tet, zero, q)
+
+            def _ok(st, chs):
+                floor = max(1e-9 * self._child_vol(self.tet_verts(st), q), tiny)
+                return all(self._child_vol(ch, q) > floor for ch in chs)
+
+            if plan is not None and all(_ok(st, chs) for st, chs in plan):
+                pid = self.add_vert(q)
+                for st, chs in plan:
+                    self._replace(st, [[pid if x == -1 else x for x in ch]
+                                       for ch in chs])
+                return pid, how
+        # no floor-valid split: dedup ONLY if the nearest vertex is within
+        # the tolerance scale (gluing a point to a vertex a cell away would
+        # destroy the constraint geometry); otherwise force-commit the
+        # natural plan — thin children are less harmful than displacement,
+        # and recovery failure degrades gracefully
+        if vdist[jmin] <= 10.0 * d_tol:
+            return tet[jmin], "dedup"
+        zero = sorted(order_d[:n_zero])
+        q = self._feature_point(p, tet, zero, project)
+        plan, how = self._split_plan(tid, tet, zero, q)
+        if plan is None:
+            return tet[jmin], "dedup"
+        pid = self.add_vert(q)
+        for st, chs in plan:
+            self._replace(st, [[pid if x == -1 else x for x in ch] for ch in chs])
+        return pid, how
+
+    def _face_plane_dist(self, tet, jz: int, p) -> float:
+        """Distance from p to the plane of the face opposite corner jz
+        (0 for degenerate faces: treat as on-plane)."""
+        A, B, C = (self.vert(tet[j]) for j in range(4) if j != jz)
+        n = np.cross(B - A, C - A)
+        nn = _norm3(n)
+        if nn <= 1e-300:
+            return 0.0
+        return abs(float(n[0] * (p[0] - A[0]) + n[1] * (p[1] - A[1])
+                         + n[2] * (p[2] - A[2]))) / nn
+
+    def _feature_point(self, p, tet, zero, project):
+        """p projected onto the feature implied by the zero set (plane of the
+        face opposite zero[0] / line of the two live corners)."""
+        if not project or len(zero) == 0:
+            return p
+        if len(zero) == 1:
+            A, B, C = (self.vert(tet[j]) for j in range(4) if j != zero[0])
+            n = np.cross(B - A, C - A)
+            denom = float(n[0] * n[0] + n[1] * n[1] + n[2] * n[2])
+            if denom <= 0.0:
+                return p
+            k = float(n[0] * (p[0] - A[0]) + n[1] * (p[1] - A[1])
+                      + n[2] * (p[2] - A[2])) / denom
+            return p - n * k
+        lu, lv = (tet[j] for j in range(4) if j not in zero)
+        U, V = self.vert(lu), self.vert(lv)
+        d = V - U
+        dd = float(d[0] * d[0] + d[1] * d[1] + d[2] * d[2])
+        if dd <= 0.0:
+            return p
+        t = float(d[0] * (p[0] - U[0]) + d[1] * (p[1] - U[1])
+                  + d[2] * (p[2] - U[2])) / dd
+        return U + d * t
+
+    def _split_plan(self, tid, tet, zero, q):
+        """List of (tet id to replace, child tuples with -1 = the new vertex)
+        for the classified split, or (None, "") when no plan exists."""
         if len(zero) == 0:  # interior: 1 -> 4
             a, b, c, d = tet
-            self._replace(tid, [(pid, b, c, d), (a, pid, c, d), (a, b, pid, d), (a, b, c, pid)])
-            return pid, "split4"
-
+            return [(tid, [(-1, b, c, d), (a, -1, c, d), (a, b, -1, d), (a, b, c, -1)])], "split4"
         if len(zero) == 1:  # on the face opposite corner zero[0]
             jz = zero[0]
-            face = [tet[j] for j in range(4) if j != jz]
-            fset = set(face)
+            fset = set(tet[j] for j in range(4) if j != jz)
             split_tids = [tid]
-            for other in self.nearby_tets(p, rings=1):
+            for other in self.nearby_tets(q, rings=1):
                 if other != tid and fset.issubset(self.tet_verts(other)):
                     split_tids.append(other)
                     break
+            plan = []
             for st in split_tids:
                 t = self.tet_verts(st)
-                news = []
+                chs = []
                 for j in range(4):
                     if t[j] in fset:
                         nt = list(t)
-                        nt[j] = pid
-                        news.append(nt)
-                self._replace(st, news)
-            return pid, "splitface"
+                        nt[j] = -1
+                        chs.append(tuple(nt))
+                plan.append((st, chs))
+            return plan, "splitface"
+        if len(zero) == 2:  # on the edge between the two live corners
+            u, v = (tet[j] for j in range(4) if j not in zero)
+            ring = [t for t in self.nearby_tets(q, rings=1)
+                    if u in self.tet_verts(t) and v in self.tet_verts(t)]
+            if not ring:
+                return None, ""
+            plan = []
+            for st in ring:
+                t = list(self.tet_verts(st))
+                t1 = tuple(-1 if x == v else x for x in t)
+                t2 = tuple(-1 if x == u else x for x in t)
+                plan.append((st, [t1, t2]))
+            return plan, "splitedge"
+        return None, ""
 
-        # len(zero) == 2: on the edge between the two non-zero corners
-        live = [tet[j] for j in range(4) if bary[j] > eps]
-        u, v = live
-        ring = [t for t in self.nearby_tets(p, rings=1)
-                if u in self.tet_verts(t) and v in self.tet_verts(t)]
-        for st in ring:
-            t = list(self.tet_verts(st))
-            t1 = [pid if x == v else x for x in t]
-            t2 = [pid if x == u else x for x in t]
-            self._replace(st, [t1, t2])
-        return pid, "splitedge"
+    def _child_vol(self, child, q) -> float:
+        va, vb, vc, vd = (q if x == -1 else self.vert(x) for x in child)
+        ux, uy, uz = vb[0] - va[0], vb[1] - va[1], vb[2] - va[2]
+        vx, vy, vz = vc[0] - va[0], vc[1] - va[1], vc[2] - va[2]
+        wx, wy, wz = vd[0] - va[0], vd[1] - va[1], vd[2] - va[2]
+        return ((uy * vz - uz * vy) * wx + (uz * vx - ux * vz) * wy
+                + (ux * vy - uy * vx) * wz) / 6.0
 
 
 def build_tet_domain(
@@ -313,10 +669,17 @@ def build_tet_domain(
     h_coef: float = 0.0,
     mean_area: Optional[float] = None,
     resolution: Optional[int] = None,
-    lattice_cap: int = 64,
+    lattice_cap: int = 96,
+    src_faces: Optional[np.ndarray] = None,
 ) -> TetMesh:
     """Kuhn-lattice stuffing mesh of the bounding cube containing
-    ``src_points`` (V, 3) exactly as mesh vertices 0..V-1."""
+    ``src_points`` (V, 3) exactly as mesh vertices 0..V-1.
+
+    With ``src_faces`` (F, 3) given, the surface is additionally recovered so
+    every input triangle is an exact union of tet faces (``conforming=True``,
+    the reference's default domain for triangle meshes,
+    signed_heat_tet_solver.cpp:885-1016).  Recovery failure falls back to the
+    non-conforming mesh with a warning (reference fallback :24-33)."""
     src_points = np.asarray(src_points, dtype=np.float64)
     V = src_points.shape[0]
     c = src_points.mean(axis=0)
@@ -329,18 +692,65 @@ def build_tet_domain(
             mean_area = (2.0 * s / 16.0) ** 2
         resolution = _lattice_resolution(s, mean_area, h_coef, cap=lattice_cap)
     nl = int(resolution)
-    h = 2.0 * s / nl
-    bmin = c - s
-    npts = nl + 1
 
     from . import native as native_mod
 
-    if native_mod.available():
+    if src_faces is None and native_mod.available():
         out = native_mod.lattice_build(src_points, c, s, nl)
         if out is not None:
             verts, tets, vertex_of, n_snapped, n_split = out
             return _finalize_arrays(verts, tets, vertex_of, n_snapped, n_split)
 
+    if src_faces is not None and native_mod.conforming_available():
+        out = native_mod.conforming_build(src_points, np.asarray(src_faces, np.int64),
+                                          c, s, nl)
+        if out is not None:
+            verts, tets, vertex_of, n_snapped, n_split, tris, parents = out
+            if tris is not None:
+                return _finalize_arrays(verts, tets, vertex_of, n_snapped, n_split,
+                                        surface_tris=tris, surface_parent=parents,
+                                        src_points=src_points, src_faces=src_faces)
+            warnings.warn("conforming surface recovery failed (native); using the "
+                          "non-conforming vertex-path mesh", stacklevel=2)
+            return _finalize_arrays(verts, tets, vertex_of, n_snapped, n_split)
+
+    mb, vertex_of, n_snapped, n_split = _python_build(
+        src_points, c, s, nl, conforming=src_faces is not None)
+
+    surface_tris = surface_parent = None
+    if src_faces is not None:
+        from . import conforming
+
+        try:
+            surface_tris, surface_parent = conforming.recover_surface(
+                mb, vertex_of, src_points, np.asarray(src_faces, dtype=np.int64))
+        except ConformingError as e:
+            warnings.warn(
+                f"conforming surface recovery failed ({e}); using the "
+                f"non-conforming vertex-path mesh (reference fallback "
+                f"signed_heat_tet_solver.cpp:24-33)", stacklevel=2)
+            surface_tris = surface_parent = None
+
+    return _finalize(mb, vertex_of, n_snapped, n_split,
+                     surface_tris=surface_tris, surface_parent=surface_parent,
+                     src_points=src_points, src_faces=src_faces)
+
+
+def _python_build(src_points: np.ndarray, c: np.ndarray, s: float, nl: int,
+                  conforming: bool = False):
+    """Lattice + source-vertex insertion (NumPy implementation).
+
+    With ``conforming=True`` the split insertion applies the recovery
+    tolerance ladder: tet-corner snapping first (position kept exact), then
+    feature classification at ~1e-5 cell with projection — a source vertex
+    may be displaced by up to ~1e-5 cell onto a lattice face/edge, which
+    prevents sub-ladder pancake tets from seeding the recovery (TetGen
+    merges nearby points with a tolerance for the same reason).  The
+    non-conforming path keeps positions bit-exact."""
+    V = src_points.shape[0]
+    h = 2.0 * s / nl
+    bmin = c - s
+    npts = nl + 1
     r = np.arange(npts) * h
     K, J, I = np.meshgrid(r, r, r, indexing="ij")
     nodes = np.stack([I, J, K], axis=-1).reshape(-1, 3) + bmin
@@ -380,7 +790,7 @@ def build_tet_domain(
         Tt = T[touched]
         a, b2, c2, d2 = pos[Tt[:, 0]], pos[Tt[:, 1]], pos[Tt[:, 2]], pos[Tt[:, 3]]
         vol = np.einsum("ij,ij->i", np.cross(b2 - a, c2 - a), d2 - a) / 6.0
-        bad = vol <= 0.0
+        bad = vol <= 1e-12 * h ** 3  # also revert snaps leaving degenerates
         if not bad.any():
             break
         bad_nodes = np.unique(Tt[bad])
@@ -392,36 +802,50 @@ def build_tet_domain(
         del claimed[int(nid)]
     vertex_of[snapped_srcs[kept]] = snapped_nodes[kept]
     n_snapped = int(kept.sum())
+    # constrain snapped sources NOW: later pass-2 snaps must never move them
+    mb.constrained.update(int(n) for n in snapped_nodes[kept])
 
-    # --- pass 2: split-insert the rest (exact positions)
+    # --- pass 2: split-insert the rest
     n_split = 0
     for vi in range(V):
         if vertex_of[vi] >= 0:
             continue
-        pid, how = mb.insert_point(src_points[vi], eps)
+        if conforming:
+            pid, how = mb.insert_point(src_points[vi], 1e-5,
+                                       snap_tol=SNAP_ALPHA * h, project=True)
+        else:
+            pid, how = mb.insert_point(src_points[vi], eps)
         vertex_of[vi] = pid
-        if how != "dedup":
+        mb.constrained.add(int(pid))  # immediately: never snap-move a source
+        if how not in ("dedup", "snap"):
             n_split += 1
 
-    return _finalize(mb, vertex_of, n_snapped, n_split)
+    mb.constrained.update(int(v) for v in vertex_of)
+    return mb, vertex_of, n_snapped, n_split
 
 
-def _finalize(mb: _MeshBuilder, vertex_of: np.ndarray, n_snapped: int, n_split: int) -> TetMesh:
-    if mb.extra_verts:
-        verts = np.concatenate([mb.positions, np.asarray(mb.extra_verts)], axis=0)
+def _finalize(mb: _MeshBuilder, vertex_of: np.ndarray, n_snapped: int, n_split: int,
+              surface_tris=None, surface_parent=None,
+              src_points=None, src_faces=None) -> TetMesh:
+    if mb._nev:
+        verts = np.concatenate([mb.positions, mb._ev[:mb._nev]], axis=0)
     else:
         verts = mb.positions
     parts = [mb.base_tets[~mb.base_dead]]
-    if mb.extra_tets:
-        extra = np.asarray(mb.extra_tets, dtype=np.int64)
-        alive = ~np.asarray(mb.extra_dead)
+    if mb._net:
+        extra = mb._et[:mb._net]
+        alive = ~mb._et_dead[:mb._net]
         parts.append(extra[alive])
     tets = np.concatenate(parts, axis=0)
-    return _finalize_arrays(verts, tets, vertex_of, n_snapped, n_split)
+    return _finalize_arrays(verts, tets, vertex_of, n_snapped, n_split,
+                            surface_tris=surface_tris, surface_parent=surface_parent,
+                            src_points=src_points, src_faces=src_faces)
 
 
 def _finalize_arrays(verts: np.ndarray, tets: np.ndarray, vertex_of: np.ndarray,
-                     n_snapped: int, n_split: int) -> TetMesh:
+                     n_snapped: int, n_split: int,
+                     surface_tris=None, surface_parent=None,
+                     src_points=None, src_faces=None) -> TetMesh:
     # reorder: source vertices first, in input order (dedup -> first owner)
     NVold = verts.shape[0]
     order_src, seen = [], set()
@@ -469,6 +893,38 @@ def _finalize_arrays(verts: np.ndarray, tets: np.ndarray, vertex_of: np.ndarray,
     same = _same_orientation(flat, gface)
     tet_face_sign = np.where(same, 1, -1).reshape(-1, 4).astype(np.int8)
 
+    # conforming-surface mapping: sub-face triples -> global face ids + signs
+    surface_faces = surface_orient = None
+    conforming = False
+    if surface_tris is not None and len(surface_tris):
+        st = remap[np.asarray(surface_tris, dtype=np.int64)]
+        s0, s1, s2 = st[:, 0], st[:, 1], st[:, 2]
+        slo = np.minimum(np.minimum(s0, s1), s2)
+        shi = np.maximum(np.maximum(s0, s1), s2)
+        smid = s0 + s1 + s2 - slo - shi
+        want = (slo << 42) | (smid << 21) | shi
+        ukeys = sk[newgrp]  # sorted unique keys; position == global face id
+        pos = np.searchsorted(ukeys, want)
+        ok = (pos < ukeys.shape[0]) & (ukeys[np.minimum(pos, ukeys.shape[0] - 1)] == want)
+        if ok.all():
+            surface_faces = pos.astype(np.int64)
+            surface_parent = np.asarray(surface_parent, dtype=np.int64)
+            # orientation: stored face normal vs input face normal
+            # (reference surface-face orientation matching :983-1011)
+            tri = verts[faces[surface_faces]]
+            n_sub = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+            sp = np.asarray(src_points, dtype=np.float64)
+            sf = np.asarray(src_faces, dtype=np.int64)[surface_parent]
+            n_par = np.cross(sp[sf[:, 1]] - sp[sf[:, 0]], sp[sf[:, 2]] - sp[sf[:, 0]])
+            surface_orient = np.where(
+                np.einsum("ij,ij->i", n_sub, n_par) >= 0, 1, -1
+            ).astype(np.int8)
+            conforming = True
+        else:
+            warnings.warn("conforming mapping lost sub-faces at finalize; "
+                          "falling back to non-conforming", stacklevel=2)
+            surface_parent = None
+
     # vertex -> incident tets CSR
     NV = verts.shape[0]
     vt_rows = tets.reshape(-1)
@@ -489,7 +945,10 @@ def _finalize_arrays(verts: np.ndarray, tets: np.ndarray, vertex_of: np.ndarray,
         src_vertex=src_vertex,
         n_snapped=n_snapped,
         n_split=n_split,
-        conforming=False,
+        conforming=conforming,
+        surface_faces=surface_faces,
+        surface_parent=surface_parent if conforming else None,
+        surface_orient=surface_orient,
     )
 
 

@@ -54,6 +54,82 @@ def available() -> bool:
     return _lib() is not None
 
 
+def conforming_available() -> bool:
+    """True when the native library provides conforming surface recovery."""
+    lib = _lib()
+    return lib is not None and hasattr(lib, "shm3d_conforming_build")
+
+
+def conforming_build(src_points: np.ndarray, src_faces: np.ndarray,
+                     center: np.ndarray, half_side: float, resolution: int):
+    """Native conforming build; returns
+    (vertices, tets, vertex_of, n_snapped, n_split, surface_tris|None,
+    surface_parent|None) or None when unavailable."""
+    lib = _lib()
+    if lib is None or not hasattr(lib, "shm3d_conforming_build"):
+        return None
+    pts = np.ascontiguousarray(src_points, dtype=np.float64)
+    fcs = np.ascontiguousarray(src_faces, dtype=np.int64)
+    V, F = pts.shape[0], fcs.shape[0]
+    lib.shm3d_conforming_build.restype = ctypes.c_void_p
+    lib.shm3d_conforming_build.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_int,
+    ]
+    lib.shm3d_lattice_nsurf.restype = ctypes.c_int64
+    lib.shm3d_lattice_nsurf.argtypes = [ctypes.c_void_p]
+    lib.shm3d_lattice_copy_surf.restype = None
+    lib.shm3d_lattice_copy_surf.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
+    handle = lib.shm3d_conforming_build(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), V,
+        fcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), F,
+        float(center[0]), float(center[1]), float(center[2]),
+        float(half_side), int(resolution),
+    )
+    if not handle:
+        return None
+    try:
+        nv = lib.shm3d_lattice_nv(handle)
+        nt = lib.shm3d_lattice_nt(handle)
+        vertices = np.empty((nv, 3), dtype=np.float64)
+        tets = np.empty((nt, 4), dtype=np.int64)
+        vertex_of = np.empty(V, dtype=np.int64)
+        lib.shm3d_lattice_copy(
+            handle,
+            vertices.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            tets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            vertex_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        )
+        ns = lib.shm3d_lattice_nsurf(handle)
+        tris = parents = None
+        if ns == 0 and hasattr(lib, "shm3d_lattice_fail_reason"):
+            lib.shm3d_lattice_fail_reason.restype = ctypes.c_char_p
+            lib.shm3d_lattice_fail_reason.argtypes = [ctypes.c_void_p]
+            reason = lib.shm3d_lattice_fail_reason(handle)
+            if reason:
+                import warnings
+
+                warnings.warn(
+                    f"native conforming recovery failed: {reason.decode()}",
+                    stacklevel=2)
+        if ns > 0:
+            tris = np.empty((ns, 3), dtype=np.int64)
+            parents = np.empty(ns, dtype=np.int64)
+            lib.shm3d_lattice_copy_surf(
+                handle,
+                tris.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                parents.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        return (vertices, tets, vertex_of,
+                int(lib.shm3d_lattice_nsnapped(handle)),
+                int(lib.shm3d_lattice_nsplit(handle)), tris, parents)
+    finally:
+        lib.shm3d_lattice_free(handle)
+
+
 def lattice_build(src_points: np.ndarray, center: np.ndarray, half_side: float,
                   resolution: int) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]]:
     """Returns (vertices, tets, vertex_of, n_snapped, n_split) or None."""

@@ -8,11 +8,12 @@ Kuhn-lattice stuffing mesh (shm3d.tet.mesher):
   device: Yukawa convolution at tet barycenters -> normalize -> vertex
           divergence (segment_sum) -> constrained solve    (jit)
 
-Because the stuffing mesh does not preserve surface faces, Step 3 always
-takes the reference's vertex/dual-Laplacian path — the same path the
-reference uses for polygon meshes, point clouds, and TetGen failures
+For triangle meshes the domain is surface-conforming (mesher + conforming
+recovery) and Step 3 defaults to the Crouzeix-Raviart face path
+(cr_solver.CRPath, reference :234-317).  Polygon meshes, point clouds, and
+recovery failures take the reference's vertex/dual-Laplacian fallback path
 (signed_heat_tet_solver.cpp:24-33,319-397).  All three level-set-constraint
-modes are provided:
+modes are provided on both paths; on the vertex path:
 
 - ZERO_SET: Dirichlet elimination on the source vertices (indices 0..V-1,
   the vertex-index contract; reference :169-180,336-350) via masked CG on
@@ -292,9 +293,8 @@ class SignedHeatTetSolver:
                 phi = self._greedy(mesh, np.asarray(Y, np.float64), geom, cached, options)
         elif options.use_crouzeix_raviart and cached.get("cr_path") is not None:
             # reference default for conforming triangle meshes
-            # (integrateVectorFieldToFaces; gate at src/main.cpp:142-144).
-            # The stuffing mesher is non-conforming, so this activates only
-            # when the lattice happens to contain every source face.
+            # (integrateVectorFieldToFaces; gate at src/main.cpp:142-144);
+            # active whenever surface recovery succeeded (mesh.conforming)
             with tm.phase("step 3 (Crouzeix-Raviart face solve)"):
                 phi = cached["cr_path"].integrate(
                     Y, options,
@@ -335,21 +335,37 @@ class SignedHeatTetSolver:
         # called without options.scale, signed_heat_tet_solver.cpp:893,1024)
         # even when the user sets options.scale; here the option is honored
         # on both domains (SURVEY.md §7 quirk-handling policy).
-        mesh = build_tet_domain(src_pts, options.scale, options.h_coef, mean_area=mean_area)
+        src_faces = None
+        if is_mesh and geom.is_triangular and options.conforming:
+            # surface-conforming domain, the reference default for triangle
+            # meshes (TETFLAGS_PRESERVE, signed_heat_tet_solver.cpp:967)
+            src_faces = geom.triangles()
+        mesh = build_tet_domain(src_pts, options.scale, options.h_coef,
+                                mean_area=mean_area, src_faces=src_faces)
         dual = fem.build_dual_laplacian(mesh)
-        # conforming? (triangle meshes only; the stuffing mesher rarely is,
-        # but external/lattice-aligned meshes activate the reference's
-        # default Crouzeix-Raviart face path)
+        # Crouzeix-Raviart face path operators (the reference's default
+        # Step 3 for conforming triangle meshes, :234-317).  Input faces may
+        # be subdivided into coplanar sub-faces by the recovery; constraints
+        # and the mean shift then act on the sub-faces (same geometric
+        # surface), with components inherited from the parent input face.
         cr_path = cr_face_components = cr_face_areas = None
         if is_mesh and geom.is_triangular:
             from .cr_solver import CRPath, find_surface_faces
 
-            src_faces_global = mesh.src_vertex[geom.triangles()]
-            surf_ids = find_surface_faces(mesh, src_faces_global)
+            if mesh.conforming:
+                surf_ids = mesh.surface_faces
+                face_labels = surf.connected_components_faces(geom)
+                cr_face_components = face_labels[mesh.surface_parent]
+                cr_face_areas = mesh.face_areas()[surf_ids]
+            else:
+                # externally-aligned meshes (e.g. lattice-aligned fixtures)
+                src_faces_global = mesh.src_vertex[geom.triangles()]
+                surf_ids = find_surface_faces(mesh, src_faces_global)
+                if surf_ids is not None:
+                    cr_face_components = surf.connected_components_faces(geom)
+                    cr_face_areas = sources.weights
             if surf_ids is not None:
                 cr_path = CRPath(mesh, surf_ids, dtype=dtype)
-                cr_face_components = surf.connected_components_faces(geom)
-                cr_face_areas = sources.weights
         diagH = -dual.to_scipy().diagonal()
         diagH = np.where(diagH > 0, diagH, 1.0)
         comp_root, comp_member = _component_rows(labels, mesh.src_vertex)
@@ -379,7 +395,7 @@ class SignedHeatTetSolver:
     def _integrate(self, Y, mesh, geom, cached, options, tm):
         n = mesh.n_vertices
         mode = options.level_set_constraint
-        tol, maxiter = options.solver_tol, options.solver_maxiter
+        tol, maxiter = options.resolved_solver_tol(), options.solver_maxiter
         div = _divergence_jit(
             Y, cached["div_rows"], cached["div_tets"], cached["div_gvec"], n
         )

@@ -137,15 +137,21 @@ def test_cr_operators_structure(tet_domain):
 # device solver vs oracle
 
 
+@pytest.mark.parametrize("use_cr", [True, False],
+                         ids=["cr-conforming", "vertex-path"])
 @pytest.mark.parametrize("mode", [
     LevelSetConstraint.ZERO_SET,
     LevelSetConstraint.NONE,
     LevelSetConstraint.MULTIPLE,
 ])
-def test_tet_device_matches_oracle(mode, ico_mesh):
+def test_tet_device_matches_oracle(mode, use_cr, ico_mesh):
+    """use_cr=True exercises the reference's default conforming CR Step 3
+    (signed_heat_tet_solver.cpp:234-317); use_cr=False the vertex path
+    (:161-232) on the same conforming mesh."""
     opts = SignedHeatOptions(
         dtype="float64", level_set_constraint=mode,
-        solver_tol=1e-12, solver_maxiter=20000, refine_steps=0,
+        use_crouzeix_raviart=use_cr,
+        solver_tol=1e-12, solver_maxiter=60000, refine_steps=0,
     )
     expected = tet_oracle.solve_tet(ico_mesh, opts)
     got = SignedHeatTetSolver().compute_distance(ico_mesh, opts)
@@ -216,9 +222,11 @@ def test_tet_point_cloud_path(ico_mesh):
 
 
 def test_tet_sdf_sign_structure(ico_mesh):
-    """Signed distance to the unit icosphere: negative at center region,
-    positive outside, zero-ish at source vertices."""
-    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-10, solver_maxiter=20000)
+    """Signed distance to the unit icosphere on the vertex path: negative at
+    center region, positive outside, zero exactly at source vertices
+    (Dirichlet elimination pins them; the CR default is covered below)."""
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-10, solver_maxiter=20000,
+                             use_crouzeix_raviart=False)
     res = SignedHeatTetSolver().compute_distance(ico_mesh, opts)
     tm = res.mesh
     r = np.linalg.norm(tm.vertices, axis=1)
@@ -229,6 +237,23 @@ def test_tet_sdf_sign_structure(ico_mesh):
     assert np.median(outside) > 0
     # zero on the source (Dirichlet pinned exactly)
     assert np.abs(res.phi_at_sources()).max() < 1e-12
+
+
+def test_tet_sdf_sign_structure_cr_default(ico_mesh):
+    """Default options route triangle meshes through the conforming CR path
+    (reference default, signed_heat_tet_solver.cpp:234-317): source values
+    are only near zero (L2 projection of pinned face DOFs), signs correct."""
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-10, solver_maxiter=20000)
+    solver = SignedHeatTetSolver()
+    res = solver.compute_distance(ico_mesh, opts)
+    cached = next(iter(solver._cache.values()))
+    assert res.mesh.conforming, "conforming recovery should succeed on the icosphere"
+    assert cached["cr_path"] is not None, "CR path should be the active default"
+    tm = res.mesh
+    r = np.linalg.norm(tm.vertices, axis=1)
+    assert np.median(res.phi[r < 0.5]) < 0
+    assert np.median(res.phi[r > 1.5]) > 0
+    assert np.abs(res.phi_at_sources()).max() < 0.1 * np.abs(res.phi).max()
 
 
 def test_native_mesher_matches_python(ico_mesh):
