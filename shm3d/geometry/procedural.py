@@ -52,3 +52,21 @@ def make_icosphere(subdivisions: int = 2, radius: float = 1.0, center=(0.0, 0.0,
         faces = np.array(new_faces, dtype=np.int64)
     verts = verts * radius + np.asarray(center, dtype=np.float64)
     return Mesh.from_face_lists(verts, [list(f) for f in faces])
+
+
+def make_sphere_cloud(n: int = 2000, radius: float = 1.0, center=(0.0, 0.0, 0.0)):
+    """Oriented point cloud sampling a sphere via the Fibonacci lattice
+    (near-uniform density; outward unit normals).  Analytic signed distance
+    to the underlying surface is |p - center| - radius, which makes this the
+    external validation fixture for point-cloud quadrature weights
+    (VERDICT r1 item 8; reference path signed_heat_grid_solver.cpp:146-174)."""
+    from ..io.mesh_io import PointCloud
+
+    i = np.arange(n, dtype=np.float64)
+    golden = np.pi * (3.0 - np.sqrt(5.0))
+    z = 1.0 - 2.0 * (i + 0.5) / n
+    rho = np.sqrt(np.maximum(0.0, 1.0 - z * z))
+    th = golden * i
+    normals = np.stack([rho * np.cos(th), rho * np.sin(th), z], axis=1)
+    positions = normals * radius + np.asarray(center, dtype=np.float64)
+    return PointCloud(positions, normals.copy())

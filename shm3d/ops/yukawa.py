@@ -171,12 +171,19 @@ def yukawa_field_pallas(
     s_block: int = 2048,
     normalize: bool = True,
     interpret: bool = False,
+    q_chunk: int = 1 << 21,
 ) -> jnp.ndarray:
     """Pallas blockwise Yukawa summation.  float32 on TPU; the compute dtype
     follows the query dtype (f64 only meaningful in interpret mode on CPU).
 
     queries (Q, 3); src_points/src_vectors (S, 3); returns (Q, 3).
-    """
+
+    Queries are processed in chunks of at most ``q_chunk`` rows: the pallas
+    custom call constrains its (N, 3) operands to row-major layout, whose
+    (8, 128)-tiled HBM form pads the minor dim 3 -> 128 lanes (a 42.7x copy;
+    at 256^3 a single call would materialize two 8 GB temporaries and OOM a
+    16 GB chip).  Chunking keeps the padded copies ~1 GB and transient, and
+    bounds per-program runtime under the TPU worker watchdog."""
     dtype = queries.dtype if interpret else jnp.float32
     Q = queries.shape[0]
     queries = queries.astype(dtype)
@@ -184,14 +191,25 @@ def yukawa_field_pallas(
     S = sp.shape[0]
     s_block = min(s_block, S)
     q_tile = min(q_tile, max(8, Q))
-    Qp = -(-Q // q_tile) * q_tile
-    qpad = _pad_to(queries, Qp, 0.0)
     lam_arr = jnp.asarray([lam], dtype=dtype)
-    call = _pallas_call_cached(
-        Qp, S, q_tile, s_block, normalize, interpret, jnp.dtype(dtype).name
-    )
-    out = call(lam_arr, qpad, sp.T, sv.T)
-    return out[:Q]
+    sp_t, sv_t = sp.T, sv.T
+
+    def run(qrows):
+        Qp = -(-qrows.shape[0] // q_tile) * q_tile
+        call = _pallas_call_cached(
+            Qp, S, q_tile, s_block, normalize, interpret, jnp.dtype(dtype).name
+        )
+        return call(lam_arr, _pad_to(qrows, Qp, 0.0), sp_t, sv_t)
+
+    if Q <= q_chunk:
+        return run(queries)[:Q]
+    # equal-size chunks reuse one compiled program; the ragged tail (if any)
+    # compiles a second, smaller one
+    outs = [run(queries[i : i + q_chunk]) for i in range(0, Q - q_chunk + 1, q_chunk)]
+    tail = Q % q_chunk
+    if tail:
+        outs.append(run(queries[Q - tail :]))
+    return jnp.concatenate(outs, axis=0)[:Q]
 
 
 @functools.lru_cache(maxsize=64)
