@@ -18,6 +18,7 @@ from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class SolveResult(NamedTuple):
@@ -84,6 +85,58 @@ def cg(
              jnp.sqrt(jnp.abs(rz0)), jnp.array(0, jnp.int32))
     x, r, _, _, rz, k, _, _ = jax.lax.while_loop(cond, body, state)
     return SolveResult(x, k, jnp.sqrt(jnp.abs(rz)))
+
+
+def chebyshev(
+    matvec: Callable,
+    b: jnp.ndarray,
+    lam_min,
+    lam_max,
+    degree: int,
+) -> jnp.ndarray:
+    """Fixed-degree Chebyshev iteration for ``matvec`` SPD with spectrum
+    window [lam_min, lam_max]: returns x_d = p_d(A) b where
+    p_d = (1 - r_d)/lam and r_d is the degree-d Chebyshev residual
+    polynomial on the window (r_d(0) = 1, |r_d| <= 2 q^d on the window,
+    q = (sqrt(k)-1)/(sqrt(k)+1), k = lam_max/lam_min).
+
+    No inner products (scan of fixed length — ideal under jit/TPU).  For
+    eigencomponents BELOW lam_min the iteration applies a *soft truncated
+    inverse*: p_d(lam) -> bounded as lam -> 0 instead of 1/lam, i.e. those
+    components are deliberately (and stably) under-solved.  This is the
+    device projector's regularization for near-dependent constraint rows
+    (see shm3d.solve.projection)."""
+    d = 0.5 * (lam_max + lam_min)
+    c = 0.5 * (lam_max - lam_min)
+
+    def body(carry, _):
+        x, r, p, alpha, k = carry
+        beta = jnp.where(k == 0, 0.0,
+                         jnp.where(k == 1, 0.5 * (c * alpha) ** 2,
+                                   (0.5 * c * alpha) ** 2))
+        alpha = jnp.where(k == 0, 1.0 / d, 1.0 / (d - beta / alpha))
+        p = r + beta * p
+        x = x + alpha * p
+        r = r - alpha * matvec(p)
+        return (x, r, p, alpha, k + 1), None
+
+    x0 = jnp.zeros_like(b)
+    init = (x0, b, jnp.zeros_like(b), jnp.asarray(1.0, b.dtype),
+            jnp.asarray(0, jnp.int32))
+    (x, _, _, _, _), _ = jax.lax.scan(body, init, None, length=degree)
+    return x
+
+
+def chebyshev_degree(kappa: float, eps: float) -> int:
+    """Degree d with Chebyshev residual 2 q^d <= eps on a window of
+    condition ``kappa`` (q = (sqrt(kappa)-1)/(sqrt(kappa)+1))."""
+    rk = float(np.sqrt(max(kappa, 1.0 + 1e-12)))
+    q = (rk - 1.0) / (rk + 1.0)
+    if q <= 0.0:
+        return 1
+    import math
+
+    return max(1, int(math.ceil(math.log(2.0 / eps) / -math.log(q))))
 
 
 def minres(

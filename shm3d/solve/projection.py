@@ -58,46 +58,53 @@ class GramTable(NamedTuple):
 
     The Gram matrix can be *extremely* ill-conditioned (cond ~1e7 measured
     for 52k points in 4.1k cells at 128^3: points straddling a cell face
-    give nearly identical rows).  That kills Krylov iterations on it AND any
-    f32-factored application of its inverse: noise along an eigendirection
-    with tiny eigenvalue lam is amplified by eps/sqrt(lam) (~4e-4 in f32).
-    Three application modes, chosen by size at build time:
+    give nearly identical rows; the smallest third of the spectrum is a
+    continuum, not a few outliers).  That kills Krylov iterations on it AND
+    any f32-factored application of its inverse: noise along an
+    eigendirection with tiny eigenvalue lam is amplified by eps/sqrt(lam)
+    (~4e-4 in f32).  Two application modes, chosen by size at build time:
 
-    - ``bmat`` set (m <= ORTHO_GRAM_CAP — the production path): the
-      constraint rows are re-orthonormalized ON HOST in float64 (dense eigh
-      of the scaled Gram; P depends only on the ROW SPACE of A, so any
-      basis change is exact).  B = Lam^{-1/2} Q^T D^{-1/2} A satisfies
-      B B^T = I exactly, making B a partial isometry: every row has unit
-      norm and entries <= 1, so P = I - B^T B applies in PURE float32 with
-      error ~eps*sqrt(nt) and NO cond(G) amplification (measured 3.4e-8 vs
-      the exact f64 projection on the cond-1e7 case above).  B is stored
-      dense on the nt <= 8m touched nodes; application is two MXU matvecs.
-    - ``inv`` set (ORTHO_GRAM_CAP < m <= DENSE_GRAM_CAP): exact f64
-      host-factored dense inverse of the scaled Gram, applied in f64
-      (emulated f64 on TPU has true f64 precision with f32 range — fine,
-      the scaled Gram is O(1)).  Requires x64; when x64 is off the f32 cast
-      reintroduces the eps*sqrt(cond) floor.  NOTE: Pallas kernels do not
-      compile under x64 on the TPU stack, so this tier pairs with the XLA
-      Yukawa fallback (shm3d.ops.yukawa dispatch).
-    - neither (m > DENSE_GRAM_CAP): Jacobi-PCG on the padded neighbor table
-      (idx/val/diag; <= 27 nnz/row) — slow on ill-conditioned cases.
+    - ``bmat`` set (m <= ORTHO_GRAM_CAP — small problems and the strict
+      oracle-parity regime): the constraint rows are re-orthonormalized ON
+      HOST in float64 (dense eigh of the scaled Gram; P depends only on the
+      ROW SPACE of A, so any basis change is exact).
+      B = Lam^{-1/2} Q^T D^{-1/2} A satisfies B B^T = I exactly, making B a
+      partial isometry: every row has unit norm and entries <= 1, so
+      P = I - B^T B applies in PURE float32 with error ~eps*sqrt(nt) and NO
+      cond(G) amplification (measured 3.4e-8 vs the exact f64 projection on
+      the cond-1e7 case above).  B is stored dense on the nt <= 8m touched
+      nodes; application is two MXU matvecs.  Costs O(m^3) host time and
+      O(m * nt) device bytes — both prohibitive past a few thousand rows
+      (the B transfer alone is ~0.5 GB at m=4k over the TPU tunnel).
+    - ``bmat`` is None (m > ORTHO_GRAM_CAP — the at-scale path): the solver
+      runs its Krylov loop at the Python level and applies the EXACT f64
+      host projection (sparse splu of the Gram, ``host_gram_factor``) every
+      iteration, shipping only the (m,) constraint-space vectors across the
+      host<->device boundary (~50 KB each way; the A / A^T applications
+      stay on device).  This replaced two failed device-side designs:
+      a dense f64-factored inverse applied in f32 (eps*sqrt(cond) noise
+      floor — diverged outright at 256^3, rel-res 29), and a deflated-
+      isometry + fixed-degree Chebyshev iteration (exact in f64 CPU tests
+      but latency-bound on real TPU: ~0.8 ms per m-space polynomial step
+      made a 128^3 solve 77 s, and the degree-725 f32 recurrence stalled
+      CG at rel-res 1e-2).  jax.pure_callback would fuse the host solve
+      into the jitted loop, but the axon PJRT plugin does not implement
+      host callbacks.
     """
 
     idx: jnp.ndarray            # (m, K) int32 column indices, padded with 0
     val: jnp.ndarray            # (m, K) values, padded with 0.0
     diag: jnp.ndarray           # (m,) diagonal
-    inv: Optional[jnp.ndarray] = None      # (m, m) inverse of the scaled Gram
+    inv: Optional[jnp.ndarray] = None      # retired dense-inverse tier (unused)
     dinv: Optional[jnp.ndarray] = None     # (m,) diag^{-1/2} Jacobi scaling
     bmat: Optional[jnp.ndarray] = None     # (r, nt) orthonormalized rows
     touched: Optional[jnp.ndarray] = None  # (nt,) int32 touched node ids
 
 
 # Largest m for which the rows are re-orthonormalized on host (dense f64
-# eigh is O(m^3): ~10 s at m=4k, ~80 s at m=8k).
+# eigh is O(m^3): ~10 s at m=4k, ~80 s at m=8k).  Past this the solver
+# switches to per-iteration exact host projection (see GramTable).
 ORTHO_GRAM_CAP = 8192
-# Largest m for which the dense inverse is built (m^2 * 4 B of HBM: 32768
-# -> 4 GiB).  Beyond it the iterative fallback applies.
-DENSE_GRAM_CAP = 32768
 
 
 def gram_apply(y: jnp.ndarray, gram: GramTable) -> jnp.ndarray:
@@ -107,16 +114,17 @@ def gram_apply(y: jnp.ndarray, gram: GramTable) -> jnp.ndarray:
 
 def build_gram_table(
     nodes8: np.ndarray, coeffs8: np.ndarray, n: int, dtype,
-    ortho_cap: int = ORTHO_GRAM_CAP,
-    dense_cap: int = DENSE_GRAM_CAP,
+    ortho_cap: Optional[int] = None,
 ) -> GramTable:
     """Host-side extraction of the sparse Gram matrix into a padded neighbor
     table (K = max nonzeros per row, <= 27: the 26 cell neighbors + self),
-    plus the size-tiered exact-projection artifacts (orthonormalized row
-    factor / dense scaled inverse — see GramTable docstring).  Happens once
-    per operator-cache build."""
+    plus the size-tiered projection artifacts (orthonormalized row factor /
+    Chebyshev window — see GramTable docstring).  Happens once per
+    operator-cache build."""
     import scipy.sparse as sp
 
+    if ortho_cap is None:
+        ortho_cap = ORTHO_GRAM_CAP  # resolved at call time (patchable in tests)
     m = nodes8.shape[0]
     rows = np.repeat(np.arange(m), 8)
     A = sp.coo_matrix(
@@ -139,6 +147,7 @@ def build_gram_table(
         # exact f64 re-orthonormalization of the row space (P is basis-
         # independent); exact-duplicate rows show up as eigenvalues at the
         # f64 noise floor and are dropped — an exact rank reduction
+        dscale = 1.0 / np.sqrt(d)
         touched = np.unique(nodes8)
         remap = np.zeros(n, dtype=np.int64)
         remap[touched] = np.arange(touched.size)
@@ -146,7 +155,6 @@ def build_gram_table(
             (coeffs8.reshape(-1), (rows, remap[nodes8.reshape(-1)])),
             shape=(m, touched.size),
         ).tocsr()
-        dscale = 1.0 / np.sqrt(d)
         Gs = (sp.diags(dscale) @ G @ sp.diags(dscale)).toarray()
         lam, Q = np.linalg.eigh(Gs)
         keep = lam > 1e-10 * lam[-1]
@@ -155,77 +163,22 @@ def build_gram_table(
         B = np.ascontiguousarray((Asub.T @ T.T).T)
         bmat = jnp.asarray(B, dtype)
         touched_j = jnp.asarray(touched, jnp.int32)
-    elif m <= dense_cap:
-        import jax
-        import scipy.sparse.linalg as spla
-
-        dscale = 1.0 / np.sqrt(d)
-        Dinv = sp.diags(dscale)
-        Gs = (Dinv @ G @ Dinv).tocsc()
-        # float64 host inverse via the sparse factorization (solve vs
-        # identity); the tiny shift keeps the factorization of the
-        # near-singular scaled Gram stable and perturbs the projector by
-        # ~delta/sqrt(lam_min) << any compute dtype's floor
-        lu = spla.splu(Gs + 1e-14 * sp.eye(m, format="csc"))
-        X = lu.solve(np.eye(m, dtype=np.float64))
-        X = 0.5 * (X + X.T)  # symmetry is required for CG (see module doc)
-        wdtype = jnp.float64 if jax.config.jax_enable_x64 else dtype
-        inv = jnp.asarray(X, wdtype)
-        dinv = jnp.asarray(dscale, wdtype)
     return GramTable(
         jnp.asarray(idx), jnp.asarray(val, dtype), jnp.asarray(d, dtype),
         inv, dinv, bmat, touched_j,
     )
 
 
-def inner_gram_budget(dtype) -> tuple:
-    """(tol, maxiter) for the iterative Gram fallback (m > dense cap)."""
-    if jnp.dtype(dtype) == jnp.float32:
-        return 1e-5, 200
-    return 2e-12, 1500
-
-
 def make_projector(nodes8, coeffs8, gram: GramTable, n: int):
-    """P v = v - A^T (A A^T)^{-1} A v.
-
-    Dense mode: one (m, m) MXU matvec of the precomputed scaled inverse.
-    Fallback: Jacobi-PCG on the neighbor table (consistent by construction,
-    so CG converges even for (near-)duplicate rows — slowly when the Gram
-    is ill-conditioned; the dense mode exists for exactly that reason)."""
-
-    if gram.bmat is not None:
-
-        def project(v):
-            vs = v[gram.touched]
-            w = gram.bmat @ vs
-            return v.at[gram.touched].add(-(gram.bmat.T @ w))
-
-        return project
-
-    if gram.inv is not None:
-        wdtype = gram.inv.dtype
-
-        def project(v):
-            vw = v.astype(wdtype)
-            cw = coeffs8.astype(wdtype)
-            av = a_apply(vw, nodes8, cw)
-            z = gram.dinv * (gram.inv @ (gram.dinv * av))
-            return (vw - at_apply(z, nodes8, cw, n)).astype(v.dtype)
-
-        return project
-
-    tol, maxiter = inner_gram_budget(gram.val.dtype)
+    """P v = v - A^T (A A^T)^{-1} A v via the host-orthonormalized partial
+    isometry — exact in f32, two MXU matvecs.  Only valid when the ortho
+    artifacts exist (m <= ORTHO_GRAM_CAP); larger problems run the
+    host-projected Python-level loop instead (solvers/grid.py)."""
 
     def project(v):
-        av = a_apply(v, nodes8, coeffs8)
-        res = krylov.cg(
-            lambda y: gram_apply(y, gram),
-            av,
-            precond=lambda r: r / gram.diag,
-            tol=tol,
-            maxiter=maxiter,
-        )
-        return v - at_apply(res.x, nodes8, coeffs8, n)
+        vs = v[gram.touched]
+        w = gram.bmat @ vs
+        return v.at[gram.touched].add(-(gram.bmat.T @ w))
 
     return project
 

@@ -87,7 +87,11 @@ def _pinned_pcg_chunk(b, x0, nodes8, coeffs8, gram, cell_size, shape, tol: float
     """One bounded chunk of projected MG-PCG on P H P u = P b, warm-started
     from x0.  (Chunked because the TPU runtime kills minutes-long single
     programs; see shm3d.tet.solver CHUNK_ITERS.)  ``b`` is the (N,) primal
-    right-hand side; iterates live in ker(A)."""
+    right-hand side; iterates live in ker(A).  Both the matvec and the
+    preconditioner project: the residual must stay in the projected space
+    for the MG application to see only ker(A) content (applying MG to an
+    unprojected residual builds wrong search directions — a tempting
+    one-projection 'PPCG' shortcut that measurably diverges)."""
     dtype = b.dtype
     N = b.shape[0]
     proj = projection.make_projector(nodes8, coeffs8, gram, N)
@@ -109,7 +113,7 @@ def _pinned_pcg_chunk(b, x0, nodes8, coeffs8, gram, cell_size, shape, tol: float
 
 def _solve_pinned(
     b, nodes8, coeffs8, gram, cell_size, shape, tol: float, maxiter: int,
-    x0=None, chunk: Optional[int] = None,
+    x0=None, chunk: Optional[int] = None, host_gram=None,
 ):
     """Chunked projected MG-PCG.  Returns (u, iters, resid) with u in ker(A);
     phi = -u (signed_heat_grid_solver.cpp:108).
@@ -117,7 +121,19 @@ def _solve_pinned(
     Chunking (warm restarts) only matters on TPU where the runtime kills
     long-running programs; on other backends the solve runs in larger chunks.
     A chunk that fails to shrink the preconditioned residual marks a stall
-    (dtype roundoff floor) and stops early instead of burning maxiter."""
+    (dtype roundoff floor) and stops early instead of burning maxiter.
+
+    When the Gram table has no ortho artifacts (m > ORTHO_GRAM_CAP), the
+    loop runs at the Python level with the exact f64 host projection
+    (_solve_pinned_hostproj)."""
+    if gram.bmat is None:
+        if host_gram is None:
+            host_gram = projection.host_gram_factor(
+                np.asarray(nodes8), np.asarray(coeffs8, np.float64), b.shape[0]
+            )
+        return _solve_pinned_hostproj(
+            b, nodes8, coeffs8, host_gram, cell_size, shape, tol, maxiter, x0=x0
+        )
     if chunk is None:
         chunk = 200 if jax.default_backend() == "tpu" else min(maxiter, 500)
     u = jnp.zeros_like(b) if x0 is None else x0
@@ -137,6 +153,86 @@ def _solve_pinned(
         if float(resid) >= prev * 0.99:  # stalled at the dtype roundoff floor
             break
     return u, total, resid
+
+
+# --- large-m tier: Python-level PCG with exact f64 host projection --------
+
+
+@jax.jit
+def _a_apply_j(v, nodes8, coeffs8):
+    return projection.a_apply(v, nodes8, coeffs8)
+
+
+@jax.jit
+def _sub_at_j(v, z, nodes8, coeffs8):
+    return v - projection.at_apply(z, nodes8, coeffs8, v.shape[0])
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _hmatvec_j(u, cell_size, shape):
+    return -stencil.laplacian_apply(u.reshape(shape), cell_size).reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _mg_j(r, cell_size, shape):
+    return multigrid.make_node_preconditioner(shape, cell_size, dtype=r.dtype)(r)
+
+
+def _solve_pinned_hostproj(
+    b, nodes8, coeffs8, host_gram, cell_size, shape, tol: float, maxiter: int, x0=None
+):
+    """Projected MG-PCG driven from Python: the N-space matvec/MG run as
+    jitted device programs, the Gram solve of each projection runs on host
+    in exact f64 (sparse splu; only the (m,) constraint vectors cross the
+    host<->device boundary).  This is the m > ORTHO_GRAM_CAP tier — the
+    cond-1e7 Gram admits no f32-stable device factorization at this size,
+    and the axon plugin lacks host callbacks that would let the host solve
+    ride inside a jitted loop (see projection.GramTable).  Per-iteration
+    cost: two (m,)-sized transfers + a handful of device dispatches — a few
+    ms/iteration against stencil work on N >> m nodes."""
+    A_h, lu = host_gram
+    dtype = b.dtype
+
+    def proj(v):
+        a = np.asarray(_a_apply_j(v, nodes8, coeffs8), dtype=np.float64)
+        z = lu.solve(a)
+        return _sub_at_j(v, jnp.asarray(z, dtype), nodes8, coeffs8)
+
+    def matvec(u):
+        return proj(_hmatvec_j(u, cell_size, shape))
+
+    def precond(r):
+        return proj(_mg_j(r, cell_size, shape))
+
+    Pb = proj(b)
+    bnorm = float(jnp.sqrt(jnp.abs(jnp.vdot(Pb, precond(Pb)))))
+    threshold = tol * max(bnorm, float(np.finfo(np.float32).tiny))
+
+    u = jnp.zeros_like(b) if x0 is None else x0
+    r = Pb - matvec(u)
+    z = precond(r)
+    rz = jnp.vdot(r, z)
+    p = z
+    best = float(jnp.sqrt(jnp.abs(rz)))
+    since = 0
+    k = 0
+    resid = best
+    while resid > threshold and k < maxiter and since < 60:
+        Ap = matvec(p)
+        alpha = rz / jnp.vdot(p, Ap)
+        u = u + alpha * p
+        r = r - alpha * Ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+        k += 1
+        resid = float(jnp.sqrt(jnp.abs(rz)))
+        if resid < 0.98 * best:
+            best, since = resid, 0
+        else:
+            since += 1
+    return u, k, jnp.asarray(resid, b.dtype)
 
 
 # --- legacy MINRES-on-KKT path (options.solver_method == "minres_kkt") ----
@@ -203,6 +299,7 @@ def _solve_kkt_minres(b, nodes8, coeffs8, cell_size, shape, tol, maxiter, chunk=
 def _integrate_exact(
     Y, nodes8, coeffs8, cell_size, shape, guard_nans: bool, tol: float, maxiter: int,
     method: str = "projected_cg", gram=None, x0=None, chunk: Optional[int] = None,
+    host_gram=None,
 ):
     """divergence + NaN guard + constrained Poisson solve.  Returns
     (u, iters, resid) with u the (N,) primal solution; phi = -u."""
@@ -216,7 +313,7 @@ def _integrate_exact(
             np.asarray(nodes8), np.asarray(coeffs8, np.float64), b.shape[0], b.dtype
         )
     return _solve_pinned(b, nodes8, coeffs8, gram, cell_size, shape, tol, maxiter,
-                         x0=x0, chunk=chunk)
+                         x0=x0, chunk=chunk, host_gram=host_gram)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -282,20 +379,27 @@ class GridSolver:
                 grid = griddom.build_grid(seed_pts, options.scale, options.h_coef)
                 nodes8, coeffs8 = griddom.constraint_rows(grid, sources.points)
                 src_nodes8, src_coeffs8 = griddom.trilinear_rows(grid, sources.points)
+                gram = projection.build_gram_table(
+                    nodes8, coeffs8, grid.total_nodes, dtype
+                )
                 cached = dict(
                     grid=grid,
                     nodes8=jnp.asarray(nodes8, jnp.int32),
                     coeffs8=jnp.asarray(coeffs8, dtype),
                     coeffs8_f64=np.asarray(coeffs8, np.float64),  # host copy for refinement
-                    gram=projection.build_gram_table(
-                        nodes8, coeffs8, grid.total_nodes, dtype
-                    ),
+                    gram=gram,
                     src_nodes8=jnp.asarray(src_nodes8, jnp.int32),
                     src_coeffs8=jnp.asarray(src_coeffs8, dtype),
                     points=jnp.asarray(sources.points, dtype),
                     vectors=jnp.asarray(sources.vectors(), dtype),
                     weights=jnp.asarray(sources.weights, dtype),
                 )
+                if gram.bmat is None:
+                    # large-m tier: the solve projects through the exact f64
+                    # host factorization every iteration — build it up front
+                    cached["host_gram"] = projection.host_gram_factor(
+                        nodes8, np.asarray(coeffs8, np.float64), grid.total_nodes
+                    )
                 self._cache[key] = cached
             grid = cached["grid"]
 
@@ -370,6 +474,7 @@ class GridSolver:
                     options.solver_maxiter,
                     method=options.solver_method,
                     gram=cached["gram"],
+                    host_gram=cached.get("host_gram"),
                 )
                 u.block_until_ready()
                 tm.note(f"{options.solver_method} iters={int(iters)} rel_res={float(resid):.2e}")
@@ -462,6 +567,7 @@ class GridSolver:
                 grid.shape,
                 options.resolved_solver_tol("float64"),
                 options.solver_maxiter,
+                host_gram=cached.get("host_gram"),
             )
             return u
         u, _, _ = _solve_pinned(
@@ -473,6 +579,7 @@ class GridSolver:
             grid.shape,
             options.resolved_solver_tol("float32"),
             options.solver_maxiter,
+            host_gram=cached.get("host_gram"),
         )
         return u
 

@@ -371,3 +371,33 @@ def test_sparse_yukawa_point_queries_matches_dense(icosphere):
     assert got.shape == (1700, 3)
     err = float(jnp.max(jnp.linalg.norm(got - dense, axis=1)))
     assert err < 1e-8, err
+
+
+def test_host_projection_tier_matches_oracle(icosphere, monkeypatch):
+    """m > ORTHO_GRAM_CAP runs the Python-level PCG with exact f64 host
+    projection (solvers/grid.py:_solve_pinned_hostproj).  Force the tier by
+    shrinking the cap and check the full pipeline still matches the exact
+    KKT oracle."""
+    from shm3d.solve import projection
+
+    monkeypatch.setattr(projection, "ORTHO_GRAM_CAP", 0)
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-12,
+                             solver_maxiter=20000, refine_steps=0)
+    expected = oracle.solve_grid(icosphere, opts)
+    got = GridSolver().compute_distance(icosphere, opts)
+    rel = np.linalg.norm(got.phi - expected.phi) / np.linalg.norm(expected.phi)
+    assert rel < 1e-6, f"rel L2 {rel}"
+
+
+def test_chebyshev_solves_spd_window():
+    """krylov.chebyshev: fixed-degree inverse on a known spectral window."""
+    from shm3d.solve import krylov
+
+    rng = np.random.default_rng(3)
+    Q, _ = np.linalg.qr(rng.normal(size=(60, 60)))
+    lam = np.linspace(0.05, 2.0, 60)
+    A = (Q * lam) @ Q.T
+    b = rng.normal(size=60)
+    deg = krylov.chebyshev_degree(2.0 / 0.05, 1e-10)
+    x = krylov.chebyshev(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), 0.05, 2.0, deg)
+    assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-9
