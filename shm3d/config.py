@@ -82,6 +82,11 @@ class SignedHeatOptions:
     # Verbose per-phase timing (reference: VERBOSE stderr diagnostics,
     # /root/reference/src/main.cpp:76-101).
     verbose: bool = False
+    # Persist operator-cache artifacts (source quadrature, constraint rows,
+    # Gram factor) to $SHM3D_CACHE_DIR so cold runs in NEW processes skip
+    # tens of seconds of host precompute (SURVEY.md §5.4; the reference's
+    # rebuild-flag cache is per-process only).
+    disk_cache: bool = True
 
     def with_(self, **kwargs) -> "SignedHeatOptions":
         return dataclasses.replace(self, **kwargs)

@@ -112,15 +112,15 @@ def gram_apply(y: jnp.ndarray, gram: GramTable) -> jnp.ndarray:
     return jnp.sum(gram.val * y[gram.idx], axis=1)
 
 
-def build_gram_table(
+def build_gram_arrays(
     nodes8: np.ndarray, coeffs8: np.ndarray, n: int, dtype,
     ortho_cap: Optional[int] = None,
-) -> GramTable:
+) -> dict:
     """Host-side extraction of the sparse Gram matrix into a padded neighbor
     table (K = max nonzeros per row, <= 27: the 26 cell neighbors + self),
-    plus the size-tiered projection artifacts (orthonormalized row factor /
-    Chebyshev window — see GramTable docstring).  Happens once per
-    operator-cache build."""
+    plus — below the ortho cap — the orthonormalized row factor (see
+    GramTable docstring).  Returns plain numpy arrays (the serializable
+    operator-cache artifact; shm3d.utils.diskcache)."""
     import scipy.sparse as sp
 
     if ortho_cap is None:
@@ -142,7 +142,7 @@ def build_gram_table(
     val[r, c] = G.data
 
     d = G.diagonal()
-    inv = dinv = bmat = touched_j = None
+    out = {"idx": idx, "val": val, "diag": d}
     if m <= ortho_cap:
         # exact f64 re-orthonormalization of the row space (P is basis-
         # independent); exact-duplicate rows show up as eigenvalues at the
@@ -161,11 +161,33 @@ def build_gram_table(
         T = (Q[:, keep] / np.sqrt(lam[keep])).T * dscale[None, :]
         # sparse @ dense: O(nnz(A) * r), vs O(m^2 nt) for a dense product
         B = np.ascontiguousarray((Asub.T @ T.T).T)
-        bmat = jnp.asarray(B, dtype)
-        touched_j = jnp.asarray(touched, jnp.int32)
+        # stored in the compute dtype (dtype is part of the cache key)
+        out["bmat"] = B.astype(jnp.dtype(dtype).type)
+        out["touched"] = touched.astype(np.int32)
+    return out
+
+
+def gram_from_arrays(arr: dict, dtype) -> GramTable:
+    """Device GramTable from (possibly disk-loaded) host arrays."""
+    bmat = arr.get("bmat")
+    touched = arr.get("touched")
     return GramTable(
-        jnp.asarray(idx), jnp.asarray(val, dtype), jnp.asarray(d, dtype),
-        inv, dinv, bmat, touched_j,
+        jnp.asarray(arr["idx"]),
+        jnp.asarray(arr["val"], dtype),
+        jnp.asarray(arr["diag"], dtype),
+        None,
+        None,
+        None if bmat is None else jnp.asarray(bmat, dtype),
+        None if touched is None else jnp.asarray(touched, jnp.int32),
+    )
+
+
+def build_gram_table(
+    nodes8: np.ndarray, coeffs8: np.ndarray, n: int, dtype,
+    ortho_cap: Optional[int] = None,
+) -> GramTable:
+    return gram_from_arrays(
+        build_gram_arrays(nodes8, coeffs8, n, dtype, ortho_cap=ortho_cap), dtype
     )
 
 

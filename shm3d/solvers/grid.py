@@ -45,7 +45,7 @@ from ..ops import stencil
 from ..ops import yukawa_sparse
 from ..ops.yukawa import yukawa_field
 from ..solve import krylov, multigrid, projection
-from ..utils import timing
+from ..utils import diskcache, timing
 
 
 @dataclasses.dataclass
@@ -371,39 +371,21 @@ class GridSolver:
         tol = options.resolved_solver_tol()
 
         with tm.phase("precompute (sources + grid + constraints)"):
-            sources = self._sources(geom)
-            key = (sources.content_hash(), options.cache_key())
+            key = (diskcache.geometry_content_hash(geom), options.cache_key())
             cached = self._cache.get(key)
             if cached is None:
-                seed_pts = geom.vertices if is_mesh else geom.positions
-                grid = griddom.build_grid(seed_pts, options.scale, options.h_coef)
-                nodes8, coeffs8 = griddom.constraint_rows(grid, sources.points)
-                src_nodes8, src_coeffs8 = griddom.trilinear_rows(grid, sources.points)
-                gram = projection.build_gram_table(
-                    nodes8, coeffs8, grid.total_nodes, dtype
-                )
-                cached = dict(
-                    grid=grid,
-                    nodes8=jnp.asarray(nodes8, jnp.int32),
-                    coeffs8=jnp.asarray(coeffs8, dtype),
-                    coeffs8_f64=np.asarray(coeffs8, np.float64),  # host copy for refinement
-                    gram=gram,
-                    src_nodes8=jnp.asarray(src_nodes8, jnp.int32),
-                    src_coeffs8=jnp.asarray(src_coeffs8, dtype),
-                    points=jnp.asarray(sources.points, dtype),
-                    vectors=jnp.asarray(sources.vectors(), dtype),
-                    weights=jnp.asarray(sources.weights, dtype),
-                )
-                if gram.bmat is None:
-                    # large-m tier: the solve projects through the exact f64
-                    # host factorization every iteration — build it up front
-                    cached["host_gram"] = projection.host_gram_factor(
-                        nodes8, np.asarray(coeffs8, np.float64), grid.total_nodes
-                    )
+                arrays = diskcache.load(("grid",) + key) if options.disk_cache else None
+                if arrays is not None:
+                    tm.note("operator cache: disk hit")
+                else:
+                    arrays = self._build_host_arrays(geom, options)
+                    if options.disk_cache:
+                        diskcache.save(("grid",) + key, arrays)
+                cached = self._cached_from_arrays(arrays, dtype)
                 self._cache[key] = cached
             grid = cached["grid"]
 
-        t = options.t_coef * sources.spacing ** 2
+        t = options.t_coef * float(cached["spacing"]) ** 2
         lam = float(np.sqrt(1.0 / t))
 
         use_mesh = self.mesh is not None
@@ -435,7 +417,8 @@ class GridSolver:
                 plan = cached.get(plan_key)
                 if plan is None:
                     plan = yukawa_sparse.build_plan(
-                        grid, sources.points, lam, options.cull_eps
+                        grid, np.asarray(cached["points"], np.float64), lam,
+                        options.cull_eps
                     )
                     cached[plan_key] = plan
                 tm.note(f"culling kept {plan.kept_fraction:.1%} of source blocks")
@@ -608,6 +591,72 @@ class GridSolver:
             sub[sl(n - 2, n - 1)] += g[sl(n - 1, n)]
             out += acc - sub
         return out.reshape(-1)
+
+    def _build_host_arrays(self, geom, options: SignedHeatOptions) -> dict:
+        """Full host precompute as plain numpy arrays (the serializable
+        operator-cache artifact): source quadrature, grid spec, constraint
+        and source trilinear rows, Gram projection artifacts."""
+        is_mesh = isinstance(geom, Mesh)
+        dtype = jnp.dtype(options.dtype)
+        sources = self._sources(geom)
+        seed_pts = geom.vertices if is_mesh else geom.positions
+        grid = griddom.build_grid(seed_pts, options.scale, options.h_coef)
+        nodes8, coeffs8 = griddom.constraint_rows(grid, sources.points)
+        src_nodes8, src_coeffs8 = griddom.trilinear_rows(grid, sources.points)
+        gram_arrays = projection.build_gram_arrays(
+            nodes8, coeffs8, grid.total_nodes, dtype
+        )
+        arrays = dict(
+            grid_bbox_min=np.asarray(grid.bbox_min, np.float64),
+            grid_cell=np.float64(grid.cell_size),
+            grid_n=np.int64(grid.n),
+            spacing=np.float64(sources.spacing),
+            nodes8=nodes8.astype(np.int32),
+            coeffs8=np.asarray(coeffs8, np.float64),
+            src_nodes8=src_nodes8.astype(np.int32),
+            src_coeffs8=np.asarray(src_coeffs8, np.float64),
+            points=np.asarray(sources.points, np.float64),
+            vectors=np.asarray(sources.vectors(), np.float64),
+            weights=np.asarray(sources.weights, np.float64),
+        )
+        for k, v in gram_arrays.items():
+            arrays["gram_" + k] = v
+        return arrays
+
+    def _cached_from_arrays(self, arrays: dict, dtype) -> dict:
+        """Device-side operator cache entry from (possibly disk-loaded)
+        host arrays."""
+        grid = griddom.GridSpec(
+            bbox_min=tuple(np.asarray(arrays["grid_bbox_min"], np.float64)),
+            cell_size=float(arrays["grid_cell"]),
+            n=int(arrays["grid_n"]),
+        )
+        gram_arrays = {
+            k[len("gram_"):]: v for k, v in arrays.items() if k.startswith("gram_")
+        }
+        gram = projection.gram_from_arrays(gram_arrays, dtype)
+        nodes8 = np.asarray(arrays["nodes8"])
+        coeffs8 = np.asarray(arrays["coeffs8"], np.float64)
+        cached = dict(
+            grid=grid,
+            spacing=float(arrays["spacing"]),
+            nodes8=jnp.asarray(nodes8, jnp.int32),
+            coeffs8=jnp.asarray(coeffs8, dtype),
+            coeffs8_f64=coeffs8,  # host copy for refinement
+            gram=gram,
+            src_nodes8=jnp.asarray(arrays["src_nodes8"], jnp.int32),
+            src_coeffs8=jnp.asarray(arrays["src_coeffs8"], dtype),
+            points=jnp.asarray(arrays["points"], dtype),
+            vectors=jnp.asarray(arrays["vectors"], dtype),
+            weights=jnp.asarray(arrays["weights"], dtype),
+        )
+        if gram.bmat is None:
+            # large-m tier: the solve projects through the exact f64 host
+            # factorization every iteration — build it up front (fast splu)
+            cached["host_gram"] = projection.host_gram_factor(
+                nodes8, coeffs8, grid.total_nodes
+            )
+        return cached
 
     def _sources(self, geom) -> src_mod.SourceDistribution:
         cache_attr = "_shm3d_sources"

@@ -7,6 +7,11 @@ tolerance against the float64 oracle.
 """
 
 import os
+import tempfile
+
+# Hermetic operator disk cache: tests exercise the cache code path but never
+# share artifacts across sessions (stale-artifact hazard after code changes).
+os.environ["SHM3D_CACHE_DIR"] = tempfile.mkdtemp(prefix="shm3d-cache-")
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:

@@ -401,3 +401,17 @@ def test_chebyshev_solves_spd_window():
     deg = krylov.chebyshev_degree(2.0 / 0.05, 1e-10)
     x = krylov.chebyshev(lambda v: jnp.asarray(A) @ v, jnp.asarray(b), 0.05, 2.0, deg)
     assert np.linalg.norm(A @ np.asarray(x) - b) / np.linalg.norm(b) < 1e-9
+
+
+def test_disk_cache_roundtrip(icosphere, tmp_path, monkeypatch):
+    """A second solver instance (fresh in-memory cache) reloads the operator
+    artifacts from disk and produces the identical phi (SURVEY.md §5.4)."""
+    monkeypatch.setenv("SHM3D_CACHE_DIR", str(tmp_path))
+    opts = SignedHeatOptions(dtype="float64", refine_steps=0)
+    r1 = GridSolver().compute_distance(icosphere, opts)
+    assert len(list(tmp_path.glob("*.npz"))) == 1
+    r2 = GridSolver().compute_distance(icosphere, opts)  # disk hit path
+    np.testing.assert_allclose(r2.phi, r1.phi, rtol=0, atol=1e-12)
+    # disabling the cache still solves identically
+    r3 = GridSolver().compute_distance(icosphere, opts.with_(disk_cache=False))
+    np.testing.assert_allclose(r3.phi, r1.phi, rtol=0, atol=1e-12)
