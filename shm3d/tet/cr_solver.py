@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LevelSetConstraint, SignedHeatOptions
-from ..solve import krylov
+from ..solve import amg, krylov
 from . import fem
 from .mesher import TetMesh
 from .solver import _run_chunked
@@ -74,61 +74,86 @@ def _coo_matvec(x, rows, cols, vals):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "chunk"))
-def _cr_zeroset_chunk(div, x0, rows, cols, vals, diag, surf_mask, tol: float, chunk: int):
-    """Dirichlet on the surface faces: phi = 0 there, H_II phi_I = -div_I,
-    H = -L_CR."""
-    def matvec(x):
-        return surf_mask * -_coo_matvec(surf_mask * x, rows, cols, vals)
+def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag):
+    """AMG V-cycle when a hierarchy was built, else Jacobi."""
+    if mg_sizes:
+        return amg.make_preconditioner_parts(mg_levels, mg_coarse, mg_sizes)
+    return lambda r: r / diag
 
-    precond = lambda r: r / diag
-    b = surf_mask * -div
+
+@functools.partial(jax.jit, static_argnames=("tol", "chunk", "mg_sizes"))
+def _cr_zeroset_chunk(div, x0, rows, cols, vals, diag, surf_mask,
+                      mg_levels, mg_coarse, tol: float, chunk: int,
+                      mg_sizes: tuple = ()):
+    """Dirichlet on the surface faces: phi = 0 there, L_II phi_I = div_I
+    (L_CR stored in the positive-definite convention, fem.py)."""
+    def matvec(x):
+        return surf_mask * _coo_matvec(surf_mask * x, rows, cols, vals) + (1.0 - surf_mask) * x
+
+    precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag)
+    b = surf_mask * div
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm)
     return res.x * surf_mask, res.iterations, res.residual
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "chunk"))
-def _cr_none_chunk(div, x0, rows, cols, vals, diag, tol: float, chunk: int):
-    b = -div
-    b = b - jnp.mean(b)
+@functools.partial(jax.jit, static_argnames=("tol", "chunk", "mg_sizes"))
+def _cr_none_chunk(div, x0, rows, cols, vals, diag,
+                   mg_levels, mg_coarse, tol: float, chunk: int,
+                   mg_sizes: tuple = ()):
+    b = div - jnp.mean(div)
 
     def matvec(x):
-        y = -_coo_matvec(x, rows, cols, vals)
+        y = _coo_matvec(x, rows, cols, vals)
         return y - jnp.mean(y)
 
-    precond = lambda r: r / diag
+    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag)
+    precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm)
     return res.x, res.iterations, res.residual
 
 
-@functools.partial(jax.jit, static_argnames=("nf", "tol", "chunk"))
-def _cr_multiple_chunk(div, x0, rows, cols, vals, diag, comp_root, comp_member,
-                       nf: int, tol: float, chunk: int):
-    """KKT with face equality-to-root rows (reference :256-295)."""
-    m = comp_root.shape[0]
+def _group_projector(group_elems, group_ids, group_winv, n_groups: int):
+    """Orthogonal projector onto the MULTIPLE-constraint subspace
+    {u : u constant over each component's element set}: componentwise
+    averaging, an exact O(m) segment-sum (no KKT multipliers, no MINRES —
+    the saddle formulation with an AMG u-block preconditioner hit MINRES
+    breakdowns; the equality structure makes the null-space method free)."""
+
+    def project(v):
+        sums = jax.ops.segment_sum(v[group_elems], group_ids, num_segments=n_groups)
+        return v.at[group_elems].set((sums * group_winv)[group_ids])
+
+    return project
+
+
+@functools.partial(jax.jit, static_argnames=("n_groups", "tol", "chunk", "mg_sizes"))
+def _cr_multiple_chunk(div, x0, rows, cols, vals, diag,
+                       group_elems, group_ids, group_winv,
+                       mg_levels, mg_coarse,
+                       n_groups: int, tol: float, chunk: int, mg_sizes: tuple = ()):
+    """MULTIPLE mode via projected CG: the reference's per-component
+    equality rows (:256-295) define the subspace 'u constant per component';
+    solve P L P u = P div with P = componentwise averaging."""
+    pgroup = _group_projector(group_elems, group_ids, group_winv, n_groups)
+    # constants live in the subspace AND in ker(L) (the reference KKT is
+    # equally singular, :256-295; a particular solution suffices because the
+    # source mean shift fixes the constant) — deflate the mean as well.
+    proj = lambda v: (lambda w: w - jnp.mean(w))(pgroup(v))
 
     def matvec(x):
-        u, mu = x[:nf], x[nf:]
-        Hu = -_coo_matvec(u, rows, cols, vals)
-        At_mu = (
-            jnp.zeros(nf, dtype=x.dtype).at[comp_root].add(mu).at[comp_member].add(-mu)
-        )
-        Au = u[comp_root] - u[comp_member]
-        return jnp.concatenate([Hu + At_mu, Au])
+        # x stays in the subspace along the recurrence, so P L P x = P (L x)
+        return proj(_coo_matvec(x, rows, cols, vals))
 
-    rhs = jnp.concatenate([-div, jnp.zeros(m, dtype=div.dtype)])
-    diag_S = 1.0 / diag[comp_root] + 1.0 / diag[comp_member]
-
-    def precond(r):
-        return jnp.concatenate([r[:nf] / diag, r[nf:] / diag_S])
-
-    rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(rhs, precond(rhs))))
-    res = krylov.minres(matvec, rhs, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                        rhs_mnorm=rhs_mnorm)
+    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag)
+    precond = lambda r: proj(mg(r))
+    b = proj(div)
+    rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
+    res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
+                    rhs_mnorm=rhs_mnorm)
     return res.x, res.iterations, res.residual
 
 
@@ -178,7 +203,14 @@ class CRPath:
         cr = fem.build_cr_operators(mesh)
         self.cr = cr
         L = cr.L_scipy()
-        diag = np.asarray(-L.diagonal())
+        # L_CR is assembled in the positive-(semi)definite convention
+        # (diag > 0, annihilates constants) — its diagonal IS the Jacobi
+        # scaling.  (A historical -diagonal() here was all-negative and the
+        # >0 guard silently degraded Jacobi to identity: 1,896 CG iterations
+        # on a 16.6k-face solve.)
+        self._H = L.tocsr()
+        self._amg_cache = {}
+        diag = np.asarray(L.diagonal())
         diag = np.where(diag > 0, diag, 1.0)
 
         A = cr.A_scipy()
@@ -217,6 +249,17 @@ class CRPath:
         self.dtype = dtype
         self.last_stats = {}
 
+    def _hierarchy(self, mode):
+        """Per-constraint-mode SA-AMG hierarchy (operator-cache artifact)."""
+        if mode not in self._amg_cache:
+            if mode == LevelSetConstraint.ZERO_SET:
+                mask = np.asarray(self.arrays["surf_mask"], np.float64)
+                H = amg.masked_operator(self._H, mask)
+            else:
+                H = self._H
+            self._amg_cache[mode] = amg.build_hierarchy(H, self.dtype)
+        return self._amg_cache[mode]
+
     def integrate(self, Y, options: SignedHeatOptions, src_face_components=None,
                   src_face_areas=None) -> jnp.ndarray:
         """Full CR Step 3: returns -phi_vertices (reference sign, :316)."""
@@ -227,25 +270,30 @@ class CRPath:
         div = _cr_divergence(Y, a["divf"], a["divt"], a["divn"], nf)
 
         mode = options.level_set_constraint
+        h = self._hierarchy(mode)
         if mode == LevelSetConstraint.ZERO_SET:
             fn = lambda x0, c: _cr_zeroset_chunk(
                 div, x0, a["rows"], a["cols"], a["vals"], a["diag"], a["surf_mask"],
-                tol=tol, chunk=c)
+                h.levels, h.coarse_inv, tol=tol, chunk=c, mg_sizes=h.sizes)
             phi_f, it1, r1 = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
         elif mode == LevelSetConstraint.MULTIPLE:
-            roots, members = face_component_rows(self.surface_faces, src_face_components)
-            comp_root = jnp.asarray(roots, jnp.int32)
-            comp_member = jnp.asarray(members, jnp.int32)
-            m = comp_root.shape[0]
+            labels = np.asarray(src_face_components)
+            _, gids = np.unique(labels, return_inverse=True)
+            sizes = np.bincount(gids).astype(np.float64)
+            n_groups = int(gids.max()) + 1
             fn = lambda x0, c: _cr_multiple_chunk(
                 div, x0, a["rows"], a["cols"], a["vals"], a["diag"],
-                comp_root, comp_member, nf=nf, tol=tol, chunk=c)
-            x, it1, r1 = _run_chunked(fn, jnp.zeros(nf + m, self.dtype), tol, maxiter)
-            phi_f = x[:nf]
+                jnp.asarray(self.surface_faces, jnp.int32),
+                jnp.asarray(gids, jnp.int32),
+                jnp.asarray(1.0 / sizes, self.dtype),
+                h.levels, h.coarse_inv,
+                n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes)
+            phi_f, it1, r1 = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
             phi_f = phi_f - self._face_shift(phi_f, src_face_areas)
         else:
             fn = lambda x0, c: _cr_none_chunk(
-                div, x0, a["rows"], a["cols"], a["vals"], a["diag"], tol=tol, chunk=c)
+                div, x0, a["rows"], a["cols"], a["vals"], a["diag"],
+                h.levels, h.coarse_inv, tol=tol, chunk=c, mg_sizes=h.sizes)
             phi_f, it1, r1 = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
             phi_f = phi_f - self._face_shift(phi_f, src_face_areas)
 

@@ -18,9 +18,9 @@ modes are provided on both paths; on the vertex path:
 - ZERO_SET: Dirichlet elimination on the source vertices (indices 0..V-1,
   the vertex-index contract; reference :169-180,336-350) via masked CG on
   the interior block of H = -L (positive definite there);
-- MULTIPLE: per-connected-component equality rows (+1 at the component root,
-  -1 at each member; reference DFS loop :183-210,353-381), solved as a KKT
-  saddle with MINRES;
+- MULTIPLE: per-connected-component equality rows (reference DFS loop
+  :183-210,353-381) define the subspace 'phi constant per component' —
+  solved by projected CG (componentwise-averaging projector), no saddle;
 - NONE: singular Poisson solve (constants projected out of the Krylov
   iteration; the particular solution is irrelevant because the source mean
   shift :576-589 cancels the constant).
@@ -45,7 +45,7 @@ from ..geometry import sources as src_mod
 from ..geometry import surface as surf
 from ..io.mesh_io import Mesh, PointCloud
 from ..ops.yukawa import yukawa_field
-from ..solve import krylov
+from ..solve import amg, krylov
 from ..utils import timing
 from . import fem
 from .mesher import TetMesh, build_tet_domain
@@ -97,16 +97,23 @@ def _divergence_jit(Y, div_rows, div_tets, div_gvec, n: int):
     return _divergence(Y, div_rows, div_tets, div_gvec, n)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "n_src", "tol", "chunk"))
-def _zeroset_chunk(div, x0, rows, cols, vals, diagH,
-                   n: int, n_src: int, tol: float, chunk: int):
+def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag):
+    """AMG V-cycle when a hierarchy was built, else Jacobi."""
+    if mg_sizes:
+        return amg.make_preconditioner_parts(mg_levels, mg_coarse, mg_sizes)
+    return lambda r: r / diag
+
+
+@functools.partial(jax.jit, static_argnames=("n", "n_src", "tol", "chunk", "mg_sizes"))
+def _zeroset_chunk(div, x0, rows, cols, vals, diagH, mg_levels, mg_coarse,
+                   n: int, n_src: int, tol: float, chunk: int, mg_sizes: tuple = ()):
     """Dirichlet solve chunk: phi = 0 on source vertices, H_II phi_I = -div_I."""
     mask = (jnp.arange(n) >= n_src).astype(div.dtype)
 
     def matvec(x):
-        return mask * -_laplacian_matvec(mask * x, rows, cols, vals)
+        return mask * -_laplacian_matvec(mask * x, rows, cols, vals) + (1.0 - mask) * x
 
-    precond = lambda r: r / diagH
+    precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH)
     b = mask * -div
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
@@ -114,8 +121,9 @@ def _zeroset_chunk(div, x0, rows, cols, vals, diagH,
     return res.x * mask, res.iterations, res.residual
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tol", "chunk"))
-def _none_chunk(div, x0, rows, cols, vals, diagH, n: int, tol: float, chunk: int):
+@functools.partial(jax.jit, static_argnames=("n", "tol", "chunk", "mg_sizes"))
+def _none_chunk(div, x0, rows, cols, vals, diagH, mg_levels, mg_coarse,
+                n: int, tol: float, chunk: int, mg_sizes: tuple = ()):
     """Singular Poisson chunk: H phi = -div with constants projected out."""
     b = -div
     b = b - jnp.mean(b)
@@ -124,42 +132,40 @@ def _none_chunk(div, x0, rows, cols, vals, diagH, n: int, tol: float, chunk: int
         y = -_laplacian_matvec(x, rows, cols, vals)
         return y - jnp.mean(y)
 
-    precond = lambda r: r / diagH
+    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH)
+    precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm)
     return res.x, res.iterations, res.residual
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tol", "chunk"))
-def _multiple_chunk(div, x0, rows, cols, vals, diagH, comp_root, comp_member,
-                    n: int, tol: float, chunk: int):
-    """KKT saddle chunk [[H, A^T], [A, 0]] with A = equality-to-root rows.
+@functools.partial(jax.jit, static_argnames=("n_groups", "tol", "chunk", "mg_sizes"))
+def _multiple_chunk(div, x0, rows, cols, vals, diagH,
+                    group_elems, group_ids, group_winv,
+                    mg_levels, mg_coarse,
+                    n_groups: int, tol: float, chunk: int, mg_sizes: tuple = ()):
+    """MULTIPLE mode via projected CG: the reference's per-component
+    equality rows (:211-217,382-389) define the subspace 'phi constant per
+    source component'; solve P H P u = P b with P = componentwise averaging
+    composed with mean deflation (H = -L_dual is singular on constants, as
+    is the reference's KKT — the mean shift fixes the constant afterwards)."""
 
-    Reference solves [[L, A^T], [A, 0]] [phi; mu] = [div; 0]
-    (:211-217); we use H = -L and negate the first block row."""
-    m = comp_root.shape[0]
+    def pgroup(v):
+        sums = jax.ops.segment_sum(v[group_elems], group_ids, num_segments=n_groups)
+        return v.at[group_elems].set((sums * group_winv)[group_ids])
+
+    proj = lambda v: (lambda w: w - jnp.mean(w))(pgroup(v))
 
     def matvec(x):
-        u, mu = x[:n], x[n:]
-        Hu = -_laplacian_matvec(u, rows, cols, vals)
-        At_mu = (
-            jnp.zeros(n, dtype=x.dtype)
-            .at[comp_root].add(mu)
-            .at[comp_member].add(-mu)
-        )
-        Au = u[comp_root] - u[comp_member]
-        return jnp.concatenate([Hu + At_mu, Au])
+        return proj(-_laplacian_matvec(x, rows, cols, vals))
 
-    rhs = jnp.concatenate([-div, jnp.zeros(m, dtype=div.dtype)])
-    diag_S = 1.0 / diagH[comp_root] + 1.0 / diagH[comp_member]
-
-    def precond(r):
-        return jnp.concatenate([r[:n] / diagH, r[n:] / diag_S])
-
-    rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(rhs, precond(rhs))))
-    res = krylov.minres(matvec, rhs, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                        rhs_mnorm=rhs_mnorm)
+    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH)
+    precond = lambda r: proj(mg(r))
+    b = proj(-div)
+    rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
+    res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
+                    rhs_mnorm=rhs_mnorm)
     return res.x, res.iterations, res.residual
 
 
@@ -366,7 +372,8 @@ class SignedHeatTetSolver:
                     cr_face_areas = sources.weights
             if surf_ids is not None:
                 cr_path = CRPath(mesh, surf_ids, dtype=dtype)
-        diagH = -dual.to_scipy().diagonal()
+        H_scipy = (-dual.to_scipy()).tocsr()  # positive (semi)definite
+        diagH = H_scipy.diagonal()
         diagH = np.where(diagH > 0, diagH, 1.0)
         comp_root, comp_member = _component_rows(labels, mesh.src_vertex)
         return dict(
@@ -390,7 +397,22 @@ class SignedHeatTetSolver:
             comp_root=jnp.asarray(comp_root, jnp.int32),
             comp_member=jnp.asarray(comp_member, jnp.int32),
             src_labels=np.asarray(labels, dtype=np.int64),
+            H_scipy=H_scipy,
+            amg={},  # per-constraint-mode hierarchies, built lazily
         )
+
+    @staticmethod
+    def _hierarchy(cached, mode, n_src: int, dtype):
+        """Per-mode SA-AMG hierarchy for the vertex (dual-Laplacian) solves
+        (operator-cache artifact; shm3d.solve.amg)."""
+        if mode not in cached["amg"]:
+            H = cached["H_scipy"]
+            if mode == LevelSetConstraint.ZERO_SET:
+                mask = np.ones(H.shape[0])
+                mask[:n_src] = 0.0
+                H = amg.masked_operator(H, mask)
+            cached["amg"][mode] = amg.build_hierarchy(H, dtype)
+        return cached["amg"][mode]
 
     def _integrate(self, Y, mesh, geom, cached, options, tm):
         n = mesh.n_vertices
@@ -400,19 +422,29 @@ class SignedHeatTetSolver:
             Y, cached["div_rows"], cached["div_tets"], cached["div_gvec"], n
         )
         op = (cached["rows"], cached["cols"], cached["vals"], cached["diagH"])
+        h = self._hierarchy(cached, mode, mesh.n_src, div.dtype)
+        mg = (h.levels, h.coarse_inv)
         if mode == LevelSetConstraint.ZERO_SET:
             fn = lambda x0, c: _zeroset_chunk(
-                div, x0, *op, n=n, n_src=mesh.n_src, tol=tol, chunk=c)
+                div, x0, *op, *mg, n=n, n_src=mesh.n_src, tol=tol, chunk=c,
+                mg_sizes=h.sizes)
             phi, iters, res = _run_chunked(fn, jnp.zeros(n, div.dtype), tol, maxiter)
         elif mode == LevelSetConstraint.MULTIPLE:
-            m = cached["comp_root"].shape[0]
+            sv = np.asarray(mesh.src_vertex)
+            first = np.sort(np.unique(sv, return_index=True)[1])
+            elems = sv[first]
+            _, gids = np.unique(cached["src_labels"][first], return_inverse=True)
+            sizes = np.bincount(gids).astype(np.float64)
             fn = lambda x0, c: _multiple_chunk(
-                div, x0, *op, cached["comp_root"], cached["comp_member"],
-                n=n, tol=tol, chunk=c)
-            x, iters, res = _run_chunked(fn, jnp.zeros(n + m, div.dtype), tol, maxiter)
-            phi = self._shift(x[:n], mesh, cached)
+                div, x0, *op,
+                jnp.asarray(elems, jnp.int32), jnp.asarray(gids, jnp.int32),
+                jnp.asarray(1.0 / sizes, div.dtype), *mg,
+                n_groups=int(gids.max()) + 1, tol=tol, chunk=c, mg_sizes=h.sizes)
+            x, iters, res = _run_chunked(fn, jnp.zeros(n, div.dtype), tol, maxiter)
+            phi = self._shift(x, mesh, cached)
         else:
-            fn = lambda x0, c: _none_chunk(div, x0, *op, n=n, tol=tol, chunk=c)
+            fn = lambda x0, c: _none_chunk(div, x0, *op, *mg, n=n, tol=tol, chunk=c,
+                                           mg_sizes=h.sizes)
             phi, iters, res = _run_chunked(fn, jnp.zeros(n, div.dtype), tol, maxiter)
             phi = self._shift(phi, mesh, cached)
         tm.note(f"krylov iters={int(iters)} rel_res={float(res):.2e}")
