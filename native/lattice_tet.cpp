@@ -582,6 +582,59 @@ double tet_vol(const V3& a, const V3& b, const V3& c, const V3& d) {
 // ---------------------------------------------------------------------------
 // conforming surface recovery (mirrors shm3d/tet/conforming.py)
 
+// 2-3 bistellar flip creating edge (cur, vb): tets (F, cur) and (F, vb)
+// sharing face F are replaced by the three tets around the new edge.  This
+// is the classical edge-recovery primitive for configurations at dedup
+// scale, where inserting a crossing point is impossible (it would snap back
+// onto an existing vertex).  Valid only when the union of the two tets is
+// convex across F (all three new volumes share a sign).
+bool try_flip23_connect(Builder& mb, int64_t cur, int64_t vb) {
+  std::vector<int64_t> vt1, vt2;
+  mb.vert_tets(cur, vt1);
+  mb.vert_tets(vb, vt2);
+  for (int64_t t1 : vt1) {
+    auto a = mb.tet_verts(t1);
+    int64_t F[3];
+    int k = 0;
+    bool bad = false;
+    for (int j = 0; j < 4; ++j) {
+      if (a[j] == cur) continue;
+      if (a[j] == vb) { bad = true; break; }
+      F[k++] = a[j];
+    }
+    if (bad || k != 3) continue;
+    for (int64_t t2 : vt2) {
+      if (t2 == t1) continue;
+      auto b = mb.tet_verts(t2);
+      bool hasvb = false;
+      int match = 0;
+      for (int j = 0; j < 4; ++j) {
+        if (b[j] == vb) hasvb = true;
+        else if (b[j] == F[0] || b[j] == F[1] || b[j] == F[2]) match++;
+      }
+      if (!hasvb || match != 3) continue;
+      V3 pc = mb.vert(cur), pb = mb.vert(vb);
+      double vol[3];
+      for (int e = 0; e < 3; ++e)
+        vol[e] = tet_vol(pc, pb, mb.vert(F[e]), mb.vert(F[(e + 1) % 3]));
+      const double fv = 1e-18 * mb.h * mb.h * mb.h;
+      bool allpos = vol[0] > fv && vol[1] > fv && vol[2] > fv;
+      bool allneg = vol[0] < -fv && vol[1] < -fv && vol[2] < -fv;
+      if (!allpos && !allneg) continue;  // reflex/degenerate union
+      std::vector<std::array<int64_t, 4>> nts;
+      for (int e = 0; e < 3; ++e) {
+        int64_t u = F[e], v = F[(e + 1) % 3];
+        if (allpos) nts.push_back({cur, vb, u, v});
+        else nts.push_back({cur, vb, v, u});
+      }
+      mb.replace(t1, nts);
+      mb.replace(t2, {});
+      return true;
+    }
+  }
+  return false;
+}
+
 void recover_edge(Builder& mb, int64_t va, int64_t vb, double snap_tol) {
   V3 pb = mb.vert(vb);
   int64_t cur = va;
@@ -690,14 +743,86 @@ void recover_edge(Builder& mb, int64_t va, int64_t vb, double snap_tol) {
         }
         if (best_w >= 0 && mb.collapse_into(best_w, cur)) continue;
       }
+      // one-face separation: create the edge directly with a 2-3 flip
+      if (try_flip23_connect(mb, cur, vb)) return;
       vid = mb.insert_point(q, INSERT_EPS, 0.0, how, 0.0, true);
       if (how < 0) throw ConformFail("edge walk: point location failed");
     }
+    if (vid == cur) {
+      // degenerate-exit escape: the crossing at parameter s hit a
+      // configuration insert_point could not split (zero-volume children /
+      // grazing plane) and fell back to the nearest vertex.  Any interior
+      // point of the constrained segment is a valid Steiner point, so nudge
+      // the parameter past the degeneracy — accepting only landings that
+      // stay edge-connected to cur (the recovered chain must remain a union
+      // of mesh edges).
+      const double nudges[5] = {1e-3, 3e-3, 1e-2, 3e-2, 0.1};
+      for (int ni = 0; ni < 5 && vid == cur; ++ni) {
+        double s2 = std::min(s + nudges[ni], 1.0);
+        V3 q2 = pc + seg * s2;
+        int how2 = 0;
+        int64_t vid2 = mb.insert_point(q2, INSERT_EPS, snap_tol, how2,
+                                       DEDUP_REC * mb.h, true);
+        if (how2 < 0) continue;
+        if (vid2 != cur && (mb.edge_exists(cur, vid2) || vid2 == vb)) vid = vid2;
+        if (s2 >= 1.0) break;
+      }
+    }
     mb.constrained.insert(vid);
+    if (vid == cur && seg_len < 0.1 * mb.h) {
+      // landing repair: the walk has essentially arrived (remaining segment
+      // far below cell scale) but vb is separated from cur by micro-sliver
+      // tets whose vertices dedup any inserted crossing back onto cur.
+      // Collapse unconstrained vertices inside the landing ball into cur
+      // until vb joins cur's star.
+      bool progressed = true;
+      int guard = 0;
+      while (progressed && !(cur == vb || mb.edge_exists(cur, vb)) && guard++ < 64) {
+        progressed = false;
+        V3 pcv = mb.vert(cur);
+        double rad = 2.0 * norm(mb.vert(vb) - pcv) + 1e-9 * mb.h;
+        mb.vert_tets(cur, vt);
+        for (int64_t tid : vt) {
+          auto t = mb.tet_verts(tid);
+          for (int j = 0; j < 4 && !progressed; ++j) {
+            int64_t w = t[j];
+            if (w == cur || w == vb || mb.constrained.count(w)) continue;
+            if (norm(mb.vert(w) - pcv) <= rad && mb.collapse_into(w, cur))
+              progressed = true;
+          }
+          if (progressed) break;
+        }
+      }
+      if (cur == vb || mb.edge_exists(cur, vb)) return;
+    }
     if (vid == cur) {
       if (getenv("SHM3D_DEBUG")) {
         fprintf(stderr, "NOPROG cur=%lld vb=%lld best_s=%g seg_len=%g h=%g step=%d\n",
                 (long long)cur, (long long)vb, best_s, seg_len, mb.h, step);
+        {
+          std::vector<int64_t> vtc, vtb;
+          mb.vert_tets(cur, vtc);
+          mb.vert_tets(vb, vtb);
+          std::set<int64_t> sc, sb;
+          for (int64_t t : vtc) { auto a = mb.tet_verts(t); for (int j=0;j<4;++j) sc.insert(a[j]); }
+          for (int64_t t : vtb) { auto a = mb.tet_verts(t); for (int j=0;j<4;++j) sb.insert(a[j]); }
+          int shared = 0, shared_con = 0;
+          for (int64_t w : sc) if (w != cur && w != vb && sb.count(w)) {
+            shared++; if (mb.constrained.count(w)) shared_con++;
+          }
+          int near_uncon = 0, near_con = 0;
+          V3 pcv = mb.vert(cur);
+          double rad = 2.0 * norm(mb.vert(vb) - pcv) + 1e-9 * mb.h;
+          for (int64_t w : sc) {
+            if (w == cur || w == vb) continue;
+            if (norm(mb.vert(w) - pcv) <= rad) {
+              if (mb.constrained.count(w)) near_con++; else near_uncon++;
+            }
+          }
+          fprintf(stderr, " stars: |cur|=%zu |vb|=%zu shared=%d (%d constrained); "
+                  "landing ball: %d uncon %d con\n",
+                  sc.size(), sb.size(), shared, shared_con, near_uncon, near_con);
+        }
         // re-run the location to dump classification state
         double bc[4];
         std::vector<int64_t> cand2;

@@ -39,6 +39,20 @@ splitting (isosurface-stuffing-style warping), which avoids slivers.
 Failure (grazing degeneracies, walk stalls) raises ConformingError and the
 caller falls back to the non-conforming vertex-path mesh — the same
 degradation the reference applies on TetGen failure (:24-33,966-977).
+
+Known limitation (measured on the reference's scanned assets bunny_small/
+knot/rocker/chair): recovery completes with machine-precision certificates
+on well-resolved geometry (icosphere-class meshes, lattice-aligned
+fixtures) but stalls on raw scans whose local feature separations fall
+below the lattice dedup scale — constrained Steiner points from adjacent
+chains crowd into pockets where insertion must snap, flips would remove
+previously-recovered edges, and repair becomes order-dependent.  The native
+walk carries a repertoire of repairs (corridor hop, pancake weld, needle
+collapse, 2-3 flip connect, parameter-nudge escape, landing-ball collapse)
+that each resolve some configurations; finishing arbitrary scans needs
+exact orientation predicates and proper constrained-Delaunay recovery (a
+TetGen-scale subsystem, planned).  Grid-domain solves and the tet vertex
+path are unaffected.
 """
 
 from __future__ import annotations
