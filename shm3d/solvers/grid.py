@@ -178,6 +178,38 @@ def _mg_j(r, cell_size, shape):
     return multigrid.make_node_preconditioner(shape, cell_size, dtype=r.dtype)(r)
 
 
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _hp_step1(p, nodes8, coeffs8, cell_size, shape):
+    """H p and the constraint image of the raw matvec (first host solve)."""
+    Ap_raw = -stencil.laplacian_apply(p.reshape(shape), cell_size).reshape(-1)
+    return Ap_raw, projection.a_apply(Ap_raw, nodes8, coeffs8)
+
+
+@functools.partial(jax.jit, static_argnames=("shape",))
+def _hp_step2(u, r, p, Ap_raw, z1, rz, nodes8, coeffs8, cell_size, shape):
+    """Finish the projected matvec, take the CG step, start the projected
+    preconditioner application (second host solve)."""
+    N = u.shape[0]
+    Ap = Ap_raw - projection.at_apply(z1, nodes8, coeffs8, N)
+    pAp = jnp.vdot(p, Ap)
+    # guard 0/0 after in-batch convergence (the host checks residuals only
+    # every CHECK_EVERY iterations)
+    alpha = jnp.where(pAp != 0, rz / pAp, 0.0)
+    u = u + alpha * p
+    r = r - alpha * Ap
+    Mr = multigrid.make_node_preconditioner(shape, cell_size, dtype=r.dtype)(r)
+    return u, r, Mr, projection.a_apply(Mr, nodes8, coeffs8)
+
+
+@jax.jit
+def _hp_step3(r, Mr, z2, p, rz, nodes8, coeffs8):
+    """Finish the projected preconditioner, update the search direction."""
+    z = Mr - projection.at_apply(z2, nodes8, coeffs8, r.shape[0])
+    rz_new = jnp.vdot(r, z)
+    p = z + jnp.where(rz != 0, rz_new / rz, 0.0) * p
+    return p, rz_new
+
+
 def _solve_pinned_hostproj(
     b, nodes8, coeffs8, host_gram, cell_size, shape, tol: float, maxiter: int, x0=None
 ):
@@ -187,46 +219,45 @@ def _solve_pinned_hostproj(
     host<->device boundary).  This is the m > ORTHO_GRAM_CAP tier — the
     cond-1e7 Gram admits no f32-stable device factorization at this size,
     and the axon plugin lacks host callbacks that would let the host solve
-    ride inside a jitted loop (see projection.GramTable).  Per-iteration
-    cost: two (m,)-sized transfers + a handful of device dispatches — a few
-    ms/iteration against stencil work on N >> m nodes."""
+    ride inside a jitted loop (see projection.GramTable).
+
+    The iteration is fused into three device programs so each pass costs
+    exactly two synchronous (m,)-sized device->host pulls (the Gram RHS of
+    the matvec and preconditioner projections) plus async dispatches; the
+    convergence scalar is pulled every CHECK_EVERY iterations.  Over the
+    remote TPU tunnel this is what bounds per-iteration latency."""
     A_h, lu = host_gram
     dtype = b.dtype
+    CHECK_EVERY = 8
 
     def proj(v):
         a = np.asarray(_a_apply_j(v, nodes8, coeffs8), dtype=np.float64)
         z = lu.solve(a)
         return _sub_at_j(v, jnp.asarray(z, dtype), nodes8, coeffs8)
 
-    def matvec(u):
-        return proj(_hmatvec_j(u, cell_size, shape))
-
-    def precond(r):
-        return proj(_mg_j(r, cell_size, shape))
-
     Pb = proj(b)
-    bnorm = float(jnp.sqrt(jnp.abs(jnp.vdot(Pb, precond(Pb)))))
+    z0 = proj(_mg_j(Pb, cell_size, shape))
+    bnorm = float(jnp.sqrt(jnp.abs(jnp.vdot(Pb, z0))))
     threshold = tol * max(bnorm, float(np.finfo(np.float32).tiny))
 
     u = jnp.zeros_like(b) if x0 is None else x0
-    r = Pb - matvec(u)
-    z = precond(r)
+    r = Pb - proj(_hmatvec_j(u, cell_size, shape))
+    z = proj(_mg_j(r, cell_size, shape))
     rz = jnp.vdot(r, z)
     p = z
     best = float(jnp.sqrt(jnp.abs(rz)))
+    resid = best
     since = 0
     k = 0
-    resid = best
-    while resid > threshold and k < maxiter and since < 60:
-        Ap = matvec(p)
-        alpha = rz / jnp.vdot(p, Ap)
-        u = u + alpha * p
-        r = r - alpha * Ap
-        z = precond(r)
-        rz_new = jnp.vdot(r, z)
-        p = z + (rz_new / rz) * p
-        rz = rz_new
-        k += 1
+    while resid > threshold and k < maxiter and since < 8:
+        for _ in range(min(CHECK_EVERY, maxiter - k)):
+            Ap_raw, a1 = _hp_step1(p, nodes8, coeffs8, cell_size, shape)
+            z1 = jnp.asarray(lu.solve(np.asarray(a1, np.float64)), dtype)
+            u, r, Mr, a2 = _hp_step2(u, r, p, Ap_raw, z1, rz,
+                                     nodes8, coeffs8, cell_size, shape)
+            z2 = jnp.asarray(lu.solve(np.asarray(a2, np.float64)), dtype)
+            p, rz = _hp_step3(r, Mr, z2, p, rz, nodes8, coeffs8)
+            k += 1
         resid = float(jnp.sqrt(jnp.abs(rz)))
         if resid < 0.98 * best:
             best, since = resid, 0
