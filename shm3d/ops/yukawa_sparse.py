@@ -25,6 +25,17 @@ Decomposition (the block-sparse flash-attention pattern):
 
 Per-brick results are bitwise independent of which far blocks were culled up
 to the cull_eps relative tolerance (default 0 = dense/exact).
+
+Measured tradeoff (TPU v5e, SprayBottle 52k sources, eps=1e-6): the exact
+per-query culling floor is ~10% of pairs, but the brick-granular criterion
+pays Lipschitz slop proportional to the brick diagonal (~17 decay lengths
+at 128^3), keeping 47-55% of blocks; and the SMEM pair-list cap forces the
+plan into 19-33 pallas calls whose launch overhead eats most of the win
+(128^3: culled 1.6 s vs dense 1.0 s — negative; 256^3: culled 6.3 s vs
+dense 7.6 s — a 1.2x win).  The sparse path therefore stays OPT-IN
+(options.cull_eps > 0); closing the gap to the 10% floor needs a kernel
+that streams pair indices from HBM with manual DMA instead of SMEM scalar
+prefetch (planned).
 """
 
 from __future__ import annotations
@@ -170,7 +181,7 @@ def build_plan(
     lam: float,
     cull_eps: float,
     s_block: int = 512,
-    tau_margin: float = 5.0,
+    tau_margin: float = 2.0,
 ) -> CullingPlan:
     """CSR pair list for the culled kernel.  ``grid`` is a GridSpec with
     n % BRICK == 0."""
@@ -263,7 +274,7 @@ def build_plan_points(
     lam: float,
     cull_eps: float,
     s_block: int = 512,
-    tau_margin: float = 5.0,
+    tau_margin: float = 2.0,
 ) -> CullingPlan:
     """Culling plan for an arbitrary query point set (tet barycenters):
     queries are Morton-sorted and chunked into bricks of BRICK^3 points with
