@@ -48,6 +48,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=None,
                    help="iterative solver tolerance (default: dtype-aware, "
                         "1e-5 for float32 / 1e-10 for float64)")
+    p.add_argument("--cull-eps", type=float, default=0.0,
+                   help="relative cutoff for block-sparse Yukawa culling "
+                        "(0 = dense/exact, the reference's semantics)")
+    p.add_argument("--no-disk-cache", action="store_true",
+                   help="disable the cross-process operator cache "
+                        "($SHM3D_CACHE_DIR)")
     p.add_argument("--export-iso", metavar="PATH", help="write the zero isosurface as OBJ")
     p.add_argument("--isoval", type=float, default=0.0, help="isovalue for --export-iso")
     p.add_argument("--export-phi", metavar="PATH", help="write phi as .npy")
@@ -79,6 +85,8 @@ def main(argv=None) -> int:
         fast_integration=args.fast,
         dtype=args.dtype,
         solver_tol=args.tol,
+        cull_eps=args.cull_eps,
+        disk_cache=not args.no_disk_cache,
         verbose=args.verbose,
     )
     solver = SignedHeatSolver("grid" if args.grid else "tet")
