@@ -194,13 +194,15 @@ def face_component_rows(surface_faces: np.ndarray, components) -> Tuple[np.ndarr
 class CRPath:
     """Prepared CR operators for one conforming (mesh, surface) pair."""
 
-    def __init__(self, mesh: TetMesh, surface_faces: np.ndarray, dtype=jnp.float64):
+    def __init__(self, mesh: TetMesh, surface_faces: np.ndarray, dtype=jnp.float64,
+                 cr_ops=None):
         import scipy.sparse as sp
 
         self.mesh = mesh
         self.nf = mesh.n_faces
         self.surface_faces = np.asarray(surface_faces, dtype=np.int64)
-        cr = fem.build_cr_operators(mesh)
+        # cr_ops: pre-built (e.g. disk-cached) operator arrays
+        cr = cr_ops if cr_ops is not None else fem.build_cr_operators(mesh)
         self.cr = cr
         L = cr.L_scipy()
         # L_CR is assembled in the positive-(semi)definite convention

@@ -46,7 +46,7 @@ from ..geometry import surface as surf
 from ..io.mesh_io import Mesh, PointCloud
 from ..ops.yukawa import yukawa_field
 from ..solve import amg, krylov
-from ..utils import timing
+from ..utils import diskcache, timing
 from . import fem
 from .mesher import TetMesh, build_tet_domain
 
@@ -262,11 +262,17 @@ class SignedHeatTetSolver:
         is_mesh = isinstance(geom, Mesh)
 
         with tm.phase("tet precompute (mesh + operators)"):
-            sources = src_mod.from_geometry(geom)
-            key = (sources.content_hash(), options.cache_key())
+            key = (diskcache.geometry_content_hash(geom), options.cache_key())
             cached = self._cache.get(key)
             if cached is None:
-                cached = self._build(geom, sources, options, dtype)
+                arrays = diskcache.load(("tet",) + key) if options.disk_cache else None
+                if arrays is not None:
+                    tm.note("operator cache: disk hit")
+                else:
+                    arrays = self._build_host(geom, options)
+                    if options.disk_cache:
+                        diskcache.save(("tet",) + key, arrays)
+                cached = self._cached_from_arrays(arrays, dtype)
                 self._cache[key] = cached
         mesh: TetMesh = cached["mesh"]
 
@@ -316,7 +322,13 @@ class SignedHeatTetSolver:
 
     # -- internals
 
-    def _build(self, geom, sources, options, dtype):
+    def _build_host(self, geom, options) -> dict:
+        """Full host precompute as plain numpy arrays (the serializable
+        operator-cache artifact; shm3d.utils.diskcache): tet domain, dual
+        Laplacian, CR operators + surface ids, source quadrature, component
+        labels.  AMG hierarchies and scipy wrappers are rebuilt cheaply at
+        load time."""
+        sources = src_mod.from_geometry(geom)
         is_mesh = isinstance(geom, Mesh)
         if is_mesh and geom.is_triangular:
             src_pts = geom.vertices
@@ -349,14 +361,14 @@ class SignedHeatTetSolver:
         mesh = build_tet_domain(src_pts, options.scale, options.h_coef,
                                 mean_area=mean_area, src_faces=src_faces)
         dual = fem.build_dual_laplacian(mesh)
-        # Crouzeix-Raviart face path operators (the reference's default
+        # Crouzeix-Raviart face path surface ids (the reference's default
         # Step 3 for conforming triangle meshes, :234-317).  Input faces may
         # be subdivided into coplanar sub-faces by the recovery; constraints
         # and the mean shift then act on the sub-faces (same geometric
         # surface), with components inherited from the parent input face.
-        cr_path = cr_face_components = cr_face_areas = None
+        surf_ids = cr_face_components = cr_face_areas = cr_ops = None
         if is_mesh and geom.is_triangular:
-            from .cr_solver import CRPath, find_surface_faces
+            from .cr_solver import find_surface_faces
 
             if mesh.conforming:
                 surf_ids = mesh.surface_faces
@@ -371,10 +383,56 @@ class SignedHeatTetSolver:
                     cr_face_components = surf.connected_components_faces(geom)
                     cr_face_areas = sources.weights
             if surf_ids is not None:
-                cr_path = CRPath(mesh, surf_ids, dtype=dtype)
+                cr_ops = fem.build_cr_operators(mesh)
+
+        arrays = dict(
+            spacing=np.float64(mesh.mean_node_spacing()),
+            points=np.asarray(sources.points, np.float64),
+            vectors=np.asarray(sources.vectors(), np.float64),
+            dual_areas=np.asarray(dual_areas, np.float64),
+            src_labels=np.asarray(labels, np.int64),
+        )
+        for f in dataclasses.fields(TetMesh):
+            v = getattr(mesh, f.name)
+            if v is None:
+                continue
+            arrays["mesh_" + f.name] = np.asarray(v)
+        for f in dataclasses.fields(fem.DualLaplacian):
+            arrays["dual_" + f.name] = np.asarray(getattr(dual, f.name))
+        if surf_ids is not None:
+            arrays["cr_surf_ids"] = np.asarray(surf_ids, np.int64)
+            arrays["cr_face_components"] = np.asarray(cr_face_components, np.int64)
+            arrays["cr_face_areas"] = np.asarray(cr_face_areas, np.float64)
+            for f in dataclasses.fields(fem.CROperators):
+                arrays["crop_" + f.name] = np.asarray(getattr(cr_ops, f.name))
+        return arrays
+
+    def _cached_from_arrays(self, arrays: dict, dtype) -> dict:
+        """Device-side operator cache entry from (possibly disk-loaded)
+        host arrays."""
+        def group(prefix, cls):
+            kw = {}
+            for f in dataclasses.fields(cls):
+                k = prefix + f.name
+                if k in arrays:
+                    v = arrays[k]
+                    kw[f.name] = v.item() if np.ndim(v) == 0 else v
+            return cls(**kw)
+
+        mesh = group("mesh_", TetMesh)
+        dual = group("dual_", fem.DualLaplacian)
+        cr_path = cr_face_components = cr_face_areas = None
+        if "cr_surf_ids" in arrays:
+            from .cr_solver import CRPath
+
+            cr_ops = group("crop_", fem.CROperators)
+            cr_path = CRPath(mesh, arrays["cr_surf_ids"], dtype=dtype, cr_ops=cr_ops)
+            cr_face_components = arrays["cr_face_components"]
+            cr_face_areas = arrays["cr_face_areas"]
         H_scipy = (-dual.to_scipy()).tocsr()  # positive (semi)definite
         diagH = H_scipy.diagonal()
         diagH = np.where(diagH > 0, diagH, 1.0)
+        labels = arrays["src_labels"]
         comp_root, comp_member = _component_rows(labels, mesh.src_vertex)
         return dict(
             mesh=mesh,
@@ -382,10 +440,10 @@ class SignedHeatTetSolver:
             cr_face_components=cr_face_components,
             cr_face_areas=cr_face_areas,
             dual=dual,
-            spacing=mesh.mean_node_spacing(),
+            spacing=float(arrays["spacing"]),
             barys=jnp.asarray(mesh.barycenters(), dtype),
-            points=jnp.asarray(sources.points, dtype),
-            vectors=jnp.asarray(sources.vectors(), dtype),
+            points=jnp.asarray(arrays["points"], dtype),
+            vectors=jnp.asarray(arrays["vectors"], dtype),
             rows=jnp.asarray(dual.rows, jnp.int32),
             cols=jnp.asarray(dual.cols, jnp.int32),
             vals=jnp.asarray(dual.vals, dtype),
@@ -393,7 +451,7 @@ class SignedHeatTetSolver:
             div_tets=jnp.asarray(dual.div_tets, jnp.int32),
             div_gvec=jnp.asarray(dual.div_gvec, dtype),
             diagH=jnp.asarray(diagH, dtype),
-            dual_areas=jnp.asarray(dual_areas, dtype),
+            dual_areas=jnp.asarray(arrays["dual_areas"], dtype),
             comp_root=jnp.asarray(comp_root, jnp.int32),
             comp_member=jnp.asarray(comp_member, jnp.int32),
             src_labels=np.asarray(labels, dtype=np.int64),

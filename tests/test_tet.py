@@ -293,3 +293,19 @@ def test_tet_polygon_mesh_fallback():
     center = np.linalg.norm(res.mesh.vertices - 0.5, axis=1)
     assert np.median(res.phi[center < 0.25]) < 0
     assert np.median(res.phi[center > 1.2]) > 0
+
+
+def test_tet_disk_cache_roundtrip(ico_mesh, tmp_path, monkeypatch):
+    """A second tet solver instance reloads mesh/FEM/CR artifacts from disk
+    and produces identical phi (SURVEY.md §5.4 across processes)."""
+    from shm3d.tet.solver import SignedHeatTetSolver
+
+    monkeypatch.setenv("SHM3D_CACHE_DIR", str(tmp_path))
+    opts = SignedHeatOptions(dtype="float64")
+    r1 = SignedHeatTetSolver().compute_distance(ico_mesh, opts)
+    assert len(list(tmp_path.glob("*.npz"))) == 1
+    r2 = SignedHeatTetSolver().compute_distance(ico_mesh, opts)  # disk hit
+    np.testing.assert_allclose(r2.phi, r1.phi, rtol=0, atol=1e-12)
+    assert r2.mesh.conforming == r1.mesh.conforming
+    r3 = SignedHeatTetSolver().compute_distance(ico_mesh, opts.with_(disk_cache=False))
+    np.testing.assert_allclose(r3.phi, r1.phi, rtol=0, atol=1e-12)
