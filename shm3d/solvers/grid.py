@@ -470,11 +470,24 @@ class GridSolver:
             Y.block_until_ready()
 
         if options.fast_integration:
-            with tm.phase("step 3 (greedy BFS integration, host)"):
-                from ..oracle.reference import integrate_greedily_grid
+            if grid.n <= 32:
+                # exact reference-BFS semantics (and oracle parity) where the
+                # host loop is affordable
+                with tm.phase("step 3 (greedy BFS integration, host)"):
+                    from ..oracle.reference import integrate_greedily_grid
 
-                phi_np = integrate_greedily_grid(grid, np.asarray(Y, dtype=np.float64))
-                phi = jnp.asarray(phi_np, dtype)
+                    phi_np = integrate_greedily_grid(grid, np.asarray(Y, dtype=np.float64))
+                    phi = jnp.asarray(phi_np, dtype)
+            else:
+                # device wavefront variant (SURVEY §7 hard part 4): same
+                # edge increments, level-synchronous spanning tree
+                with tm.phase("step 3 (greedy wavefront integration, device)"):
+                    from ..ops.wavefront import greedy_integrate_wavefront
+
+                    phi = greedy_integrate_wavefront(
+                        Y.astype(dtype), grid.cell_size, grid.shape
+                    )
+                    phi.block_until_ready()
         else:
             with tm.phase("step 3 (divergence + projected MG-PCG solve)"):
                 u, iters, resid = _integrate_exact(

@@ -415,3 +415,41 @@ def test_disk_cache_roundtrip(icosphere, tmp_path, monkeypatch):
     # disabling the cache still solves identically
     r3 = GridSolver().compute_distance(icosphere, opts.with_(disk_cache=False))
     np.testing.assert_allclose(r3.phi, r1.phi, rtol=0, atol=1e-12)
+
+
+def test_wavefront_exact_on_constant_field(icosphere):
+    """On a constant unit field every integration path gives the exact
+    linear phi, so the wavefront must match the host BFS bitwise-ish."""
+    from shm3d.domains.grid import build_grid
+    from shm3d.ops.wavefront import greedy_integrate_wavefront
+    from shm3d.oracle.reference import integrate_greedily_grid
+
+    grid = build_grid(icosphere.vertices, 2.0, 1.0)  # 32^3
+    d = np.array([1.0, 2.0, -0.5])
+    d /= np.linalg.norm(d)
+    Y = np.tile(d, (grid.total_nodes, 1))
+    ref = integrate_greedily_grid(grid, Y)
+    got = np.asarray(greedy_integrate_wavefront(jnp.asarray(Y), grid.cell_size, grid.shape))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=1e-12)
+
+
+def test_wavefront_close_to_bfs_on_smooth_field(icosphere):
+    """Greedy integration is path-dependent; on a smooth (sphere SDF-like)
+    field the wavefront and BFS spanning trees must agree to the method's
+    own path-integration error, not diverge."""
+    from shm3d.domains.grid import build_grid
+    from shm3d.ops.wavefront import greedy_integrate_wavefront
+    from shm3d.oracle.reference import integrate_greedily_grid
+
+    grid = build_grid(icosphere.vertices, 2.0, 1.0)
+    pos = grid.node_positions()
+    r = np.linalg.norm(pos, axis=1)
+    Y = pos / np.maximum(r, 1e-9)[:, None]  # unit radial field (grad of |x|)
+    ref = integrate_greedily_grid(grid, Y)
+    got = np.asarray(greedy_integrate_wavefront(jnp.asarray(Y), grid.cell_size, grid.shape))
+    scale = np.abs(ref).max()
+    assert np.abs(got - ref).max() < 0.15 * scale
+    # both approximate |x| - |x_corner| up to integration error
+    exact = r - r.reshape(grid.shape)[0, 0, 0]
+    # generous band: greedy integration error accumulates along paths
+    assert np.abs(got - exact).max() < 0.2 * scale
