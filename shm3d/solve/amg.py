@@ -54,7 +54,13 @@ class AMGHierarchy(NamedTuple):
 
 
 def _aggregate(A, theta: float) -> np.ndarray:
-    """Greedy strength-based aggregation; returns (n,) aggregate ids."""
+    """Greedy strength-based aggregation; returns (n,) aggregate ids, with
+    -1 marking DROPPED nodes: rows with no strong couplings (e.g. the
+    identity rows of a Dirichlet-masked operator) get no coarse
+    representation at all — the smoother already solves them pointwise,
+    and carrying them as persistent singleton aggregates stalls coarsening
+    (measured: 17.6k masked source rows pinned the coarsest level at 17.6k
+    and sent the dense coarse solve into an O(n^3) pinv)."""
     import scipy.sparse as sp
 
     n = A.shape[0]
@@ -72,9 +78,10 @@ def _aggregate(A, theta: float) -> np.ndarray:
     agg = np.full(n, -1, dtype=np.int64)
     next_id = 0
     indptr, indices = S.indptr, S.indices
+    isolated = np.diff(indptr) == 0
     # pass 1: a node all of whose strong neighbors are free seeds an aggregate
     for i in range(n):
-        if agg[i] >= 0:
+        if agg[i] >= 0 or isolated[i]:
             continue
         nbrs = indices[indptr[i]:indptr[i + 1]]
         if (agg[nbrs] >= 0).any():
@@ -84,7 +91,7 @@ def _aggregate(A, theta: float) -> np.ndarray:
         next_id += 1
     # pass 2: attach leftovers to a neighboring aggregate (or seed their own)
     for i in range(n):
-        if agg[i] >= 0:
+        if agg[i] >= 0 or isolated[i]:
             continue
         nbrs = indices[indptr[i]:indptr[i + 1]]
         hit = nbrs[agg[nbrs] >= 0]
@@ -134,9 +141,13 @@ def build_hierarchy(
         n = A.shape[0]
         agg = _aggregate(A, theta)
         nc = int(agg.max()) + 1
-        if nc >= n:  # aggregation stalled (e.g. diagonal matrix)
+        if nc >= n or nc == 0:  # aggregation stalled (e.g. diagonal matrix)
             break
-        T = sp.csr_matrix((np.ones(n), (np.arange(n), agg)), shape=(n, nc))
+        kept = agg >= 0
+        T = sp.csr_matrix(
+            (np.ones(int(kept.sum())), (np.flatnonzero(kept), agg[kept])),
+            shape=(n, nc),
+        )
         d = np.asarray(A.diagonal())
         d = np.where(np.abs(d) > 0, d, 1.0)
         omega = 4.0 / (3.0 * _rho_dinv_a(A, d))
@@ -158,6 +169,13 @@ def build_hierarchy(
         A = Ac
         sizes.append(A.shape[0])
 
+    if A.shape[0] > 8 * max_coarse:
+        # coarsening failed to reach dense-solve size (pathological inputs);
+        # a diagonal coarse "solve" keeps the preconditioner SPD and cheap
+        d = np.asarray(A.diagonal())
+        d = np.where(np.abs(d) > 0, d, 1.0)
+        coarse_inv = jnp.asarray(np.diag(1.0 / d), dtype)
+        return AMGHierarchy(tuple(levels), coarse_inv, tuple(sizes))
     Ad = A.toarray()
     # pseudo-inverse tolerates the singular Neumann-mode operators (constant
     # null space); computed in f64, applied in the compute dtype

@@ -81,6 +81,14 @@ def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag):
     return lambda r: r / diag
 
 
+def _stall_window(dtype):
+    """f32 solves hit their roundoff floor and must stop instead of
+    burning maxiter (a knot-sized f32 solve spent 10k iterations at its
+    floor); f64 AMG-CG can plateau for long stretches near machine
+    precision and needs a far more patient guard."""
+    return 60 if jnp.dtype(dtype) == jnp.float32 else 1000
+
+
 @functools.partial(jax.jit, static_argnames=("tol", "chunk", "mg_sizes"))
 def _cr_zeroset_chunk(div, x0, rows, cols, vals, diag, surf_mask,
                       mg_levels, mg_coarse, tol: float, chunk: int,
@@ -94,7 +102,7 @@ def _cr_zeroset_chunk(div, x0, rows, cols, vals, diag, surf_mask,
     b = surf_mask * div
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
     return res.x * surf_mask, res.iterations, res.residual
 
 
@@ -112,7 +120,7 @@ def _cr_none_chunk(div, x0, rows, cols, vals, diag,
     precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
     return res.x, res.iterations, res.residual
 
 
@@ -153,7 +161,7 @@ def _cr_multiple_chunk(div, x0, rows, cols, vals, diag,
     b = proj(div)
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
     return res.x, res.iterations, res.residual
 
 
@@ -166,7 +174,7 @@ def _project_chunk(bvec, x0, p_rows, p_cols, p_vals, p_diag, nv: int, tol: float
     precond = lambda r: r / p_diag
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(bvec, precond(bvec))))
     res = krylov.cg(matvec, bvec, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(bvec.dtype))
     return res.x, res.iterations, res.residual
 
 

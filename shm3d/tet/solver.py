@@ -104,6 +104,14 @@ def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag):
     return lambda r: r / diag
 
 
+def _stall_window(dtype):
+    """f32 solves hit their roundoff floor and must stop instead of
+    burning maxiter (a knot-sized f32 solve spent 10k iterations at its
+    floor); f64 AMG-CG can plateau for long stretches near machine
+    precision and needs a far more patient guard."""
+    return 60 if jnp.dtype(dtype) == jnp.float32 else 1000
+
+
 @functools.partial(jax.jit, static_argnames=("n", "n_src", "tol", "chunk", "mg_sizes"))
 def _zeroset_chunk(div, x0, rows, cols, vals, diagH, mg_levels, mg_coarse,
                    n: int, n_src: int, tol: float, chunk: int, mg_sizes: tuple = ()):
@@ -117,7 +125,7 @@ def _zeroset_chunk(div, x0, rows, cols, vals, diagH, mg_levels, mg_coarse,
     b = mask * -div
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
     return res.x * mask, res.iterations, res.residual
 
 
@@ -136,7 +144,7 @@ def _none_chunk(div, x0, rows, cols, vals, diagH, mg_levels, mg_coarse,
     precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
     return res.x, res.iterations, res.residual
 
 
@@ -165,7 +173,7 @@ def _multiple_chunk(div, x0, rows, cols, vals, diagH,
     b = proj(-div)
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
     return res.x, res.iterations, res.residual
 
 
@@ -252,9 +260,16 @@ class SignedHeatTetSolver:
     """Stateful solver mirroring the reference caching contract
     (operators rebuilt only when geometry/hCoef change, main.cpp:113,146-147)."""
 
-    def __init__(self):
+    def __init__(self, mesh=None):
+        """``mesh``: optional 1-D jax.sharding.Mesh (shm3d.parallel.device_mesh)
+        — Step 1 (the tet hot spot, O(n_tets x n_sources)) then runs the
+        ring schedule: barycenter queries stay device-resident, source
+        shards rotate over ICI.  Step 3's unstructured segment-sum solves
+        stay single-logical-device (replicated), the right v1 split since
+        Step 1 dominates asymptotically (SURVEY.md §2e)."""
         self._cache = {}
         self.last_stats = {}
+        self.mesh = mesh
 
     def compute_distance(self, geom, options: SignedHeatOptions = SignedHeatOptions()) -> TetResult:
         tm = timing.PhaseTimer(verbose=options.verbose)
@@ -279,8 +294,16 @@ class SignedHeatTetSolver:
         lam = float(np.sqrt(1.0 / (options.t_coef * cached["spacing"] ** 2)))
 
         with tm.phase("steps 1&2 (Yukawa at tet barycenters)"):
-            use_sparse = options.cull_eps > 0 and jax.default_backend() == "tpu"
-            if use_sparse:
+            use_sparse = (options.cull_eps > 0 and self.mesh is None
+                          and jax.default_backend() == "tpu")
+            if self.mesh is not None:
+                from ..parallel import yukawa_field_ring
+
+                Y = yukawa_field_ring(
+                    cached["barys"], cached["points"], cached["vectors"], lam,
+                    self.mesh,
+                )
+            elif use_sparse:
                 from ..ops import yukawa_sparse
 
                 plan_key = ("cull_plan", lam, options.cull_eps)

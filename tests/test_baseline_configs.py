@@ -1,0 +1,85 @@
+"""End-to-end smoke of the five BASELINE.md measurement configs (SURVEY §4.3)
+on the bundled reference assets, size-reduced where a config's production
+resolution is a hardware benchmark rather than a CI check (bench.py runs the
+full-size headline config ⑤ on the TPU).
+
+① bunny_small.obj --g --fast is covered at full size by tests/test_cli.py.
+"""
+
+import numpy as np
+import pytest
+
+from conftest import reference_asset
+from shm3d.config import SignedHeatOptions
+from shm3d.io.mesh_io import read_geometry
+
+
+def _finite_and_signed(phi, frac_neg=(0.001, 0.5)):
+    phi = np.asarray(phi)
+    assert np.isfinite(phi).all()
+    neg = float(np.mean(phi < 0))
+    # signed distance to a closed surface inside a scale-2 bounding cube:
+    # some interior (negative) region, mostly exterior
+    assert frac_neg[0] < neg < frac_neg[1], f"negative fraction {neg}"
+
+
+def test_config2_knot_tet_exact():
+    """② knot.obj, tet domain, exact integration.
+
+    CI-sized: lattice capped at 24 (the reference-faithful refinement gives
+    96^3 ~ 5.3M tets — a hardware benchmark, not a CI check; the Step-1
+    convolution alone is 1.6e11 CPU kernel evaluations there), f32 device
+    path, conforming off (recovery on this scanned asset falls back anyway;
+    shm3d/tet/conforming.py)."""
+    from shm3d.tet import solver as tet_solver_mod
+    from shm3d.tet.solver import SignedHeatTetSolver
+
+    mesh = read_geometry(reference_asset("knot.obj"))
+    orig = tet_solver_mod.build_tet_domain
+    tet_solver_mod.build_tet_domain = lambda *a, **k: orig(
+        *a, **{**k, "resolution": 24}
+    )
+    try:
+        res = SignedHeatTetSolver().compute_distance(
+            mesh, SignedHeatOptions(dtype="float32", disk_cache=False,
+                                    conforming=False)
+        )
+    finally:
+        tet_solver_mod.build_tet_domain = orig
+    _finite_and_signed(res.phi)
+
+
+def test_config3_bunny_pc_grid():
+    """③ bunny.pc, grid domain, exact integration."""
+    from shm3d.solvers.grid import GridSolver
+
+    cloud = read_geometry(reference_asset("bunny.pc"))
+    res = GridSolver().compute_distance(
+        cloud, SignedHeatOptions(dtype="float64", disk_cache=False)
+    )
+    _finite_and_signed(res.phi)
+
+
+def test_config4_polygon_bear_tet():
+    """④ polygon-bear.obj, tet domain — the polygon-mesh fallback path
+    (non-conforming vertex path, reference :24-33)."""
+    from shm3d.tet.solver import SignedHeatTetSolver
+
+    mesh = read_geometry(reference_asset("polygon-bear.obj"))
+    assert not mesh.is_triangular  # the point of this config
+    res = SignedHeatTetSolver().compute_distance(
+        mesh, SignedHeatOptions(dtype="float64", disk_cache=False)
+    )
+    _finite_and_signed(res.phi)
+    assert res.mesh.conforming is False
+
+
+def test_config5_spraybottle_pc_grid():
+    """⑤ SprayBottle.pc, grid domain (CI at h=1; bench.py runs h=3 on TPU)."""
+    from shm3d.solvers.grid import GridSolver
+
+    cloud = read_geometry(reference_asset("SprayBottle.pc"))
+    res = GridSolver().compute_distance(
+        cloud, SignedHeatOptions(dtype="float32", h_coef=1.0, disk_cache=False)
+    )
+    _finite_and_signed(res.phi)

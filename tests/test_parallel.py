@@ -149,3 +149,17 @@ def test_sharded_cg_poisson_matches_single(mesh8):
     bs = jax.device_put(jnp.asarray(b), node_sharding(mesh8))
     got = jax.jit(lambda bb: krylov.cg(matvec, bb, tol=1e-12, maxiter=500).x)(bs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected.x), rtol=1e-9, atol=1e-10)
+
+
+def test_tet_solver_ring_matches_single_device(small_icosphere):
+    """SignedHeatTetSolver(mesh=...) runs Step 1 via the ring schedule;
+    result must match the single-device solve (one code path, N devices)."""
+    from shm3d.config import SignedHeatOptions
+    from shm3d.parallel import device_mesh
+    from shm3d.tet.solver import SignedHeatTetSolver
+
+    opts = SignedHeatOptions(dtype="float64")
+    single = SignedHeatTetSolver().compute_distance(small_icosphere, opts)
+    ringed = SignedHeatTetSolver(mesh=device_mesh(8)).compute_distance(small_icosphere, opts)
+    rel = np.linalg.norm(ringed.phi - single.phi) / np.linalg.norm(single.phi)
+    assert rel < 1e-12, f"rel {rel}"
