@@ -28,6 +28,8 @@
 #include <unordered_set>
 #include <vector>
 
+#include "shm3d_common.h"
+
 namespace {
 
 using std::int64_t;
@@ -1099,15 +1101,7 @@ void extract_subfaces(Builder& mb, int64_t v0, int64_t v1, int64_t v2, int64_t f
   }
 }
 
-struct Result {
-  std::string fail_reason;        // nonempty when recovery failed
-  std::vector<double> vertices;   // (NV, 3)
-  std::vector<int64_t> tets;      // (NT, 4)
-  std::vector<int64_t> vertex_of; // (V,)
-  std::vector<int64_t> surf_tris; // (S, 3) builder vertex ids
-  std::vector<int64_t> surf_parent;  // (S,)
-  int64_t n_snapped = 0, n_split = 0;
-};
+using Result = ShmResult;  // shared handle layout (shm3d_common.h)
 
 // lattice + source-vertex insertion (mirrors mesher._python_build); returns
 // the live Builder for optional recovery

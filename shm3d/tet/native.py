@@ -64,15 +64,26 @@ def conforming_build(src_points: np.ndarray, src_faces: np.ndarray,
                      center: np.ndarray, half_side: float, resolution: int):
     """Native conforming build; returns
     (vertices, tets, vertex_of, n_snapped, n_split, surface_tris|None,
-    surface_parent|None) or None when unavailable."""
+    surface_parent|None) or None when unavailable.
+
+    Default is the tolerance-ladder walk (native/lattice_tet.cpp).  Set
+    SHM3D_EXACT_RECOVERY=1 to opt into the exact-predicate builder
+    (native/exact_conform.cpp: quantized integer coordinates + __int128
+    orient3d) — still work-in-progress: it can fail to terminate on dense
+    real-world meshes (bunny_small), so it is not yet the default."""
     lib = _lib()
     if lib is None or not hasattr(lib, "shm3d_conforming_build"):
         return None
+    entry = "shm3d_conforming_build"
+    if (hasattr(lib, "shm3d_conforming_build_exact")
+            and os.environ.get("SHM3D_EXACT_RECOVERY")):
+        entry = "shm3d_conforming_build_exact"
     pts = np.ascontiguousarray(src_points, dtype=np.float64)
     fcs = np.ascontiguousarray(src_faces, dtype=np.int64)
     V, F = pts.shape[0], fcs.shape[0]
-    lib.shm3d_conforming_build.restype = ctypes.c_void_p
-    lib.shm3d_conforming_build.argtypes = [
+    build_fn = getattr(lib, entry)
+    build_fn.restype = ctypes.c_void_p
+    build_fn.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -83,7 +94,7 @@ def conforming_build(src_points: np.ndarray, src_faces: np.ndarray,
     lib.shm3d_lattice_copy_surf.restype = None
     lib.shm3d_lattice_copy_surf.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64)]
-    handle = lib.shm3d_conforming_build(
+    handle = build_fn(
         pts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), V,
         fcs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), F,
         float(center[0]), float(center[1]), float(center[2]),
