@@ -36,7 +36,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_FAR = 1e30  # padding location for sources; yields weight exactly 0
+# Padding location for sources; yields weight exactly 0.  Must satisfy
+# (3*_FAR^2) finite in f32: the kernel computes r2 = dx^2+dy^2+dz^2 and
+# (lam*r2)*rsqrt(r2) — with r2 = inf that is inf*0 = NaN.  1e17 keeps
+# r2 ~ 3e34 < f32 max while exp(-lam*r) still underflows to exactly 0.
+_FAR = 1e17
 _BIG = 3e38  # sentinel for "no exponent minimum seen yet" (finite in f32)
 
 
@@ -75,17 +79,24 @@ def yukawa_field_xla(
     qpad = _pad_to(queries, Qp, 0.0).reshape(-1, q_tile, 3)
 
     def tile_fn(q):
-        # (q_tile, S) pairwise distances
+        # (q_tile, S) pairwise distances; same arithmetic as the Pallas
+        # kernel (rsqrt form) so the two implementations agree bitwise.
         diff = q[:, None, :] - src_points[None, :, :]
-        r = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
+        r2 = jnp.sum(diff * diff, axis=-1)
+        inv = jax.lax.rsqrt(r2)
+        b = (lam * r2) * inv  # lam * r
         # Numerically-stable (flash-attention-style) evaluation: factor out
         # the per-query min of lam*r so far queries don't underflow exp to 0
         # in f32 (which would make the normalized field 0/0 = NaN; the f64
         # reference never underflows at these scales).  The normalized
         # direction is invariant to the exp(-m) scaling.
-        m = jnp.min(lam * r, axis=-1, keepdims=True)  # (q_tile, 1)
-        w = jnp.exp(m - lam * r) / r
-        X = w @ src_vectors  # (q_tile, 3)
+        m = jnp.min(b, axis=-1, keepdims=True)  # (q_tile, 1)
+        w = jnp.exp(m - b) * inv
+        X = jax.lax.dot_general(
+            w, src_vectors,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=w.dtype,
+        )  # (q_tile, 3)
         if normalize:
             X = X / jnp.linalg.norm(X, axis=-1, keepdims=True)
         else:
@@ -126,25 +137,28 @@ def _yukawa_kernel(lam_ref, q_ref, sp_ref, sv_ref, out_ref, m_ref, acc_ref, *, n
         m_ref[:] = jnp.full_like(m_ref, _BIG)
 
     lam = lam_ref[0]
-    # (QT, 1) - (1, SB) -> (QT, SB) per coordinate
+    # (QT, 1) - (1, SB) -> (QT, SB) per coordinate.  dx/dy/dz are formed by
+    # direct subtraction (no |q|^2+|s|^2-2qs MXU trick: that cancels
+    # catastrophically for near pairs, exactly the ones that dominate the
+    # normalized direction).
     dx = q_ref[:, 0:1] - sp_ref[0:1, :]
     dy = q_ref[:, 1:2] - sp_ref[1:2, :]
     dz = q_ref[:, 2:3] - sp_ref[2:3, :]
-    b = lam * jnp.sqrt(dx * dx + dy * dy + dz * dz)  # (QT, SB)
+    r2 = dx * dx + dy * dy + dz * dz
+    inv = jax.lax.rsqrt(r2)  # 1/r: one hw op replaces sqrt + divide
+    b = (lam * r2) * inv  # lam * r
     m_old = m_ref[:]
     m_new = jnp.minimum(m_old, jnp.min(b, axis=1, keepdims=True))
     # Padded sources sit at r=inf: b=inf, exp(m-inf)=0; m_new stays finite
     # because every query sees at least one real source in some block.
-    w = jnp.exp(m_new - b) * (lam / b)  # exp(m - lam r)/r
-    # Accumulate the three components as lane reductions (VPU); the matmul
-    # alternative (QT,SB)@(SB,3) wastes 125/128 of the MXU.
-    contrib = jnp.concatenate(
-        [
-            jnp.sum(w * sv_ref[0:1, :], axis=1, keepdims=True),
-            jnp.sum(w * sv_ref[1:2, :], axis=1, keepdims=True),
-            jnp.sum(w * sv_ref[2:3, :], axis=1, keepdims=True),
-        ],
-        axis=1,
+    w = jnp.exp(m_new - b) * inv  # exp(m - lam r)/r
+    # Accumulate the three components on the MXU: (QT, SB) @ (SB, 3).  The
+    # matmul is tiny next to the elementwise work above and frees the VPU of
+    # three cross-lane reductions.
+    contrib = jax.lax.dot_general(
+        w, sv_ref[:],
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=w.dtype,
     )
     rescale = jnp.exp(m_new - m_old)
     # First block: m_old = _BIG sentinel, acc = 0 -> rescale value irrelevant.
