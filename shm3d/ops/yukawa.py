@@ -181,8 +181,8 @@ def yukawa_field_pallas(
     src_points: jnp.ndarray,
     src_vectors: jnp.ndarray,
     lam,
-    q_tile: int = 256,
-    s_block: int = 2048,
+    q_tile: int = 1024,
+    s_block: int = 1024,
     normalize: bool = True,
     interpret: bool = False,
     q_chunk: int = 1 << 21,
