@@ -126,7 +126,8 @@ def _pinned_pcg_chunk(b, x0, nodes8, coeffs8, gram, cell_size, shape, tol: float
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(Pb, precond(Pb))))
     res = krylov.cg(matvec, Pb, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=60)
-    return res.x, res.iterations, res.residual
+    rel = res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(b.dtype).tiny)
+    return res.x, res.iterations, rel
 
 
 def _solve_pinned(
@@ -246,7 +247,17 @@ def _solve_pinned_hostproj(
     remote TPU tunnel this is what bounds per-iteration latency."""
     A_h, lu = host_gram
     dtype = b.dtype
-    CHECK_EVERY = 8
+    # Residual checks are cheap (one scalar pull) but stall detection costs
+    # real iterations: the loop stops only after STALL_CHECKS consecutive
+    # checks without a 2% improvement on the best residual seen, i.e. up to
+    # CHECK_EVERY*STALL_CHECKS wasted iterations at the f32 roundoff floor
+    # (~110 ms each at 256^3 over the tunnel).  The patience cannot be
+    # arbitrarily tight: PCG's preconditioned residual is NON-monotonic
+    # (measured at 256^3: best 7.9e-2 at iter 12, a 6x bump peaking at iter
+    # 24, new best at iter 32) — 6 checks of 4 tolerate a ~24-iteration
+    # excursion while still halving the old 8x8 stall proof.
+    CHECK_EVERY = 4
+    STALL_CHECKS = 6
 
     def proj(v):
         a = np.asarray(_a_apply_j(v, nodes8, coeffs8), dtype=np.float64)
@@ -267,7 +278,7 @@ def _solve_pinned_hostproj(
     resid = best
     since = 0
     k = 0
-    while resid > threshold and k < maxiter and since < 8:
+    while resid > threshold and k < maxiter and since < STALL_CHECKS:
         for _ in range(min(CHECK_EVERY, maxiter - k)):
             Ap_raw, a1 = _hp_step1(p, nodes8, coeffs8, cell_size, shape)
             z1 = jnp.asarray(lu.solve(np.asarray(a1, np.float64)), dtype)
@@ -281,7 +292,8 @@ def _solve_pinned_hostproj(
             best, since = resid, 0
         else:
             since += 1
-    return u, k, jnp.asarray(resid, b.dtype)
+    # report a RELATIVE residual (the chunk tier does the same)
+    return u, k, jnp.asarray(resid / max(bnorm, np.finfo(np.float64).tiny), b.dtype)
 
 
 # --- legacy MINRES-on-KKT path (options.solver_method == "minres_kkt") ----
