@@ -61,6 +61,19 @@ class SignedHeatOptions:
     # (exact brute-force semantics, matching the reference's
     # O(queries x sources) loops at /root/reference/src/signed_heat_grid_solver.cpp:48-65).
     cull_eps: float = 0.0
+    # Step-1 evaluation strategy on the grid domain:
+    #   "dense" — exact pairwise kernel at every node (reference semantics,
+    #             /root/reference/src/signed_heat_grid_solver.cpp:48-65).
+    #   "shell" — exact kernel on the near-surface shell (lam*d <= shell_t)
+    #             and on a coarsened node lattice, trilinear direction
+    #             interpolation elsewhere (shm3d.ops.farfield; the
+    #             "hierarchical summation" the reference defers,
+    #             README.md:77-81).  ~10x fewer pairs at 128^3+.
+    #   "auto"  — "shell" for grids >= shell_auto_n nodes/axis, else "dense".
+    step1_method: str = "auto"
+    shell_t: float = 8.0
+    shell_coarse_factor: int = 4
+    shell_auto_n: int = 128
     # Iterative solver controls (device path). The reference uses direct
     # sparse factorization (CHOLMOD/LU via geometry-central); the TPU path
     # uses matrix-free CG/MINRES with multigrid preconditioning (SURVEY.md §7).

@@ -1,0 +1,208 @@
+"""Shell decomposition of the Step-1 Yukawa summation on the grid domain.
+
+The reference evaluates the O(queries x sources) pairwise sum at EVERY grid
+node (/root/reference/src/signed_heat_grid_solver.cpp:48-65,157-174) and its
+README defers "hierarchical summation" as future work (README.md:77-81).
+This module is that acceleration, built around a property of the *normalized*
+field the method actually consumes (Step 2 divides by |X|, so only the
+direction of X survives):
+
+  X(q) = sum_s v_s exp(-lam r_s)/r_s  is a softmin over sources: the
+  direction at q is a weighted average of source vectors with weights
+  exp(-lam (r_s - r_min)).  Sources further than a few 1/lam beyond the
+  nearest contribute nothing, so away from the surface the direction field
+  varies on the length scale of the *distance to the surface*, not of the
+  source spacing.
+
+Decomposition (measured on bunny.pc at 64^3, /tmp/coarse_exp.log protocol):
+
+- **Shell nodes** (lam * dist <= T, default T=8): evaluated with the exact
+  dense flash kernel (shm3d.ops.yukawa) — bit-identical to the dense path.
+  Typically 5-20% of nodes (a fixed physical thickness ~T/lam around the
+  surface, so the fraction is grid-resolution independent).
+- **Far nodes**: the dense kernel is evaluated on a coarsened node lattice
+  (every `factor`-th node per axis, ~factor^-3 of the nodes) and directions
+  are trilinearly interpolated + renormalized.  Measured angular error at
+  factor=4 beyond lam*d >= 8: mean 0.27 deg, p95 0.7 deg — far below the
+  O(h) discretization error of the downstream Poisson solve.
+
+The node-to-surface distance used for the shell split comes from an exact
+Euclidean distance transform of the rasterized sources (scipy.ndimage EDT,
+O(N) host precompute, cached with the operator cache).  The EDT measures
+distance to occupied *cell centers*; the threshold adds a cell-diagonal
+margin so no true-shell node is ever misclassified far.
+
+Single-device only: the multi-chip ring path keeps the dense schedule (the
+shell gather/scatter would fight the z-slab sharding layout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..domains.grid import GridSpec
+
+# Shell threshold: sources beyond lam*(r - r_min) ~ 8 carry relative weight
+# exp(-8) ~ 3e-4 in the direction softmin; past that distance the coarse
+# interpolation error is < 1 deg p95 (module docstring measurement).
+DEFAULT_SHELL_T = 8.0
+DEFAULT_COARSE_FACTOR = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class ShellPlan:
+    """Host-precomputed shell decomposition for one (grid, sources, lam)."""
+
+    shell_idx: np.ndarray      # (Qs,) int32 flat node ids with lam*d <= T
+    shell_pos: np.ndarray      # (Qs, 3) float32 node positions
+    coarse_pos: np.ndarray     # (m^3, 3) float32 coarse node positions
+    # per-axis linear interpolation tables: fine coordinate -> coarse segment
+    lo: np.ndarray             # (n,) int32 lower coarse index per fine index
+    w: np.ndarray              # (n,) float32 weight of the upper coarse node
+    m: int                     # coarse nodes per axis
+    shell_fraction: float
+
+    def arrays(self) -> dict:
+        return {
+            "shell_idx": self.shell_idx,
+            "shell_pos": self.shell_pos,
+            "coarse_pos": self.coarse_pos,
+            "lo": self.lo,
+            "w": self.w,
+            "m": np.int64(self.m),
+            "shell_fraction": np.float64(self.shell_fraction),
+        }
+
+    @staticmethod
+    def from_arrays(arrays: dict) -> "ShellPlan":
+        return ShellPlan(
+            shell_idx=np.asarray(arrays["shell_idx"], np.int32),
+            shell_pos=np.asarray(arrays["shell_pos"], np.float32),
+            coarse_pos=np.asarray(arrays["coarse_pos"], np.float32),
+            lo=np.asarray(arrays["lo"], np.int32),
+            w=np.asarray(arrays["w"], np.float32),
+            m=int(arrays["m"]),
+            shell_fraction=float(arrays["shell_fraction"]),
+        )
+
+
+def _node_dist_edt(grid: GridSpec, src_points: np.ndarray) -> np.ndarray:
+    """(n,n,n) distance from each node to the nearest source-occupied cell
+    center (exact EDT of the rasterized sources; error vs the true point
+    distance is bounded by one cell diagonal)."""
+    from scipy import ndimage
+
+    cells = grid.cell_of(src_points)
+    occ = np.zeros(grid.shape, dtype=bool)  # (nz, ny, nx) = [k, j, i]
+    np.clip(cells, 0, grid.n - 1, out=cells)
+    occ[cells[:, 2], cells[:, 1], cells[:, 0]] = True
+    return ndimage.distance_transform_edt(~occ, sampling=grid.cell_size)
+
+
+def build_shell_plan(
+    grid: GridSpec,
+    src_points: np.ndarray,
+    lam: float,
+    shell_t: float = DEFAULT_SHELL_T,
+    factor: int = DEFAULT_COARSE_FACTOR,
+) -> ShellPlan:
+    n = grid.n
+    d = _node_dist_edt(grid, src_points)
+    # cell-diagonal margin: EDT distances are to cell centers, the true point
+    # can be closer by up to sqrt(3) h (+ the node itself sits on the lattice)
+    margin = np.sqrt(3.0) * grid.cell_size
+    shell_mask = (lam * np.maximum(d - margin, 0.0)) <= shell_t
+    shell_idx = np.nonzero(shell_mask.reshape(-1))[0].astype(np.int32)
+    # flat order is i + j*n + k*n^2 == C-order [k, j, i]; node_positions()
+    # emits exactly that order
+    pos = grid.node_positions().astype(np.float32)
+    shell_pos = pos[shell_idx]
+
+    # coarse lattice: stride `factor`, always including the last node so the
+    # interpolation never extrapolates
+    idx = np.arange(0, n, factor)
+    if idx[-1] != n - 1:
+        idx = np.append(idx, n - 1)
+    m = len(idx)
+    ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")  # (z, y, x)
+    flat = (kk + jj * n + ii * n * n).reshape(-1)  # [k,j,i] ordering
+    coarse_pos = pos[flat]
+
+    fine = np.arange(n)
+    seg = np.clip(np.searchsorted(idx, fine, side="right") - 1, 0, m - 2)
+    denom = (idx[seg + 1] - idx[seg]).astype(np.float64)
+    w = ((fine - idx[seg]) / denom).astype(np.float32)
+    return ShellPlan(
+        shell_idx=shell_idx,
+        shell_pos=shell_pos,
+        coarse_pos=coarse_pos,
+        lo=seg.astype(np.int32),
+        w=w,
+        m=m,
+        shell_fraction=float(shell_idx.shape[0]) / float(n ** 3),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("n", "m"))
+def assemble_shell_field(
+    Y_coarse: jnp.ndarray,   # (m^3, 3) normalized directions at coarse nodes
+    Y_shell: jnp.ndarray,    # (Qs, 3) exact directions at shell nodes
+    shell_idx: jnp.ndarray,  # (Qs,) int32
+    lo: jnp.ndarray,         # (n,) int32
+    w: jnp.ndarray,          # (n,) float32
+    n: int,
+    m: int,
+) -> jnp.ndarray:
+    """Trilinear direction upsample + renormalize, then overwrite the shell
+    rows with the exact kernel values.  Returns (n^3, 3) in flat node order."""
+    Yc = Y_coarse.reshape(m, m, m, 3)
+    loz = lo[:, None, None]
+    loy = lo[None, :, None]
+    lox = lo[None, None, :]
+    wz = w[:, None, None, None]
+    wy = w[None, :, None, None]
+    wx = w[None, None, :, None]
+    up = jnp.zeros((n, n, n, 3), Y_coarse.dtype)
+    for dz in (0, 1):
+        az = (1.0 - wz) if dz == 0 else wz
+        for dy in (0, 1):
+            ay = (1.0 - wy) if dy == 0 else wy
+            for dx in (0, 1):
+                ax = (1.0 - wx) if dx == 0 else wx
+                up = up + (az * ay * ax) * Yc[loz + dz, loy + dy, lox + dx]
+    nrm = jnp.sqrt(jnp.sum(up * up, axis=-1, keepdims=True))
+    up = up / jnp.maximum(nrm, jnp.finfo(Y_coarse.dtype).tiny)
+    Y = up.reshape(n * n * n, 3)
+    return Y.at[shell_idx].set(Y_shell)
+
+
+def yukawa_field_shell(
+    plan: ShellPlan,
+    src_points: jnp.ndarray,
+    src_vectors: jnp.ndarray,
+    lam,
+    grid_n: int,
+    yukawa_fn=None,
+) -> jnp.ndarray:
+    """Shell-decomposed Step 1&2: exact kernel on shell + coarse nodes, then
+    interpolated assembly.  ``yukawa_fn`` defaults to the dispatching
+    shm3d.ops.yukawa.yukawa_field (Pallas on TPU, XLA elsewhere)."""
+    if yukawa_fn is None:
+        from .yukawa import yukawa_field as yukawa_fn
+    Y_coarse = yukawa_fn(jnp.asarray(plan.coarse_pos), src_points, src_vectors, lam)
+    Y_shell = yukawa_fn(jnp.asarray(plan.shell_pos), src_points, src_vectors, lam)
+    return assemble_shell_field(
+        Y_coarse,
+        Y_shell,
+        jnp.asarray(plan.shell_idx),
+        jnp.asarray(plan.lo),
+        jnp.asarray(plan.w),
+        grid_n,
+        plan.m,
+    )

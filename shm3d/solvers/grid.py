@@ -473,7 +473,44 @@ class GridSolver:
                 and grid.n % yukawa_sparse.BRICK == 0
                 and jax.default_backend() == "tpu"
             )
-            if use_sparse:
+            use_shell = (
+                not use_mesh
+                and not use_sparse
+                and (
+                    options.step1_method == "shell"
+                    or (options.step1_method == "auto" and grid.n >= options.shell_auto_n)
+                )
+            )
+            if use_shell:
+                from ..ops import farfield
+
+                plan_key = ("shell_plan", lam, options.shell_t,
+                            options.shell_coarse_factor)
+                plan = cached.get(plan_key)
+                if plan is None:
+                    arrays = (
+                        diskcache.load(("grid_shell",) + key + plan_key)
+                        if options.disk_cache else None
+                    )
+                    if arrays is not None:
+                        plan = farfield.ShellPlan.from_arrays(arrays)
+                    else:
+                        plan = farfield.build_shell_plan(
+                            grid, np.asarray(cached["points"], np.float64), lam,
+                            options.shell_t, options.shell_coarse_factor,
+                        )
+                        if options.disk_cache:
+                            diskcache.save(("grid_shell",) + key + plan_key,
+                                           plan.arrays())
+                    cached[plan_key] = plan
+                tm.note(
+                    f"shell decomposition: {plan.shell_fraction:.1%} exact nodes"
+                    f" + {plan.m}^3 coarse lattice"
+                )
+                Y = farfield.yukawa_field_shell(
+                    plan, cached["points"], cached["vectors"], lam, grid.n
+                )
+            elif use_sparse:
                 plan_key = ("cull_plan", lam, options.cull_eps)
                 plan = cached.get(plan_key)
                 if plan is None:
