@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cull-eps", type=float, default=0.0,
                    help="relative cutoff for block-sparse Yukawa culling "
                         "(0 = dense/exact, the reference's semantics)")
+    p.add_argument("--step1", choices=["auto", "dense", "shell"], default="auto",
+                   help="grid Step-1 strategy: dense pairwise kernel, the "
+                        "shell decomposition (exact near surface + coarse-"
+                        "interpolated far field), or auto (shell at >=128^3)")
     p.add_argument("--no-disk-cache", action="store_true",
                    help="disable the cross-process operator cache "
                         "($SHM3D_CACHE_DIR)")
@@ -86,6 +90,7 @@ def main(argv=None) -> int:
         dtype=args.dtype,
         solver_tol=args.tol,
         cull_eps=args.cull_eps,
+        step1_method=args.step1,
         disk_cache=not args.no_disk_cache,
         verbose=args.verbose,
     )

@@ -92,17 +92,45 @@ class ShellPlan:
         )
 
 
-def _node_dist_edt(grid: GridSpec, src_points: np.ndarray) -> np.ndarray:
-    """(n,n,n) distance from each node to the nearest source-occupied cell
-    center (exact EDT of the rasterized sources; error vs the true point
-    distance is bounded by one cell diagonal)."""
+# EDT raster cap: the shell test only needs node-to-surface distances to a
+# few-cell accuracy (absorbed by the margin), so the EDT runs on a raster of
+# at most this many cells/axis — at 256^3 the full-resolution EDT costs ~14 s
+# on this host vs ~1.5 s at 128.
+_EDT_MAX_RES = 128
+
+
+def _node_dist_edt(grid: GridSpec, src_points: np.ndarray):
+    """((ne,ne,ne) distance field, edt_cell): distance from each EDT-raster
+    cell to the nearest source-occupied raster cell center.  The raster is
+    the node grid coarsened to <= _EDT_MAX_RES cells/axis; quantization is
+    absorbed by the caller's margin."""
     from scipy import ndimage
 
-    cells = grid.cell_of(src_points)
-    occ = np.zeros(grid.shape, dtype=bool)  # (nz, ny, nx) = [k, j, i]
-    np.clip(cells, 0, grid.n - 1, out=cells)
+    f = max(1, -(-grid.n // _EDT_MAX_RES))  # ceil(n / cap)
+    ne = -(-grid.n // f)
+    edt_cell = grid.cell_size * f
+    cells = np.floor(
+        (np.asarray(src_points, np.float64) - np.asarray(grid.bbox_min))
+        / edt_cell
+    ).astype(np.int64)
+    np.clip(cells, 0, ne - 1, out=cells)
+    occ = np.zeros((ne, ne, ne), dtype=bool)  # (z, y, x) = [k, j, i]
     occ[cells[:, 2], cells[:, 1], cells[:, 0]] = True
-    return ndimage.distance_transform_edt(~occ, sampling=grid.cell_size)
+    return ndimage.distance_transform_edt(~occ, sampling=edt_cell), edt_cell, f
+
+
+def _positions_of(flat_idx: np.ndarray, grid: GridSpec) -> np.ndarray:
+    """(Q, 3) float32 node positions from flat ids (i + j*n + k*n^2) without
+    materializing the full (N, 3) position array (slow-numpy host)."""
+    n = grid.n
+    i = flat_idx % n
+    j = (flat_idx // n) % n
+    k = flat_idx // (n * n)
+    out = np.empty((flat_idx.shape[0], 3), np.float32)
+    out[:, 0] = grid.bbox_min[0] + i * grid.cell_size
+    out[:, 1] = grid.bbox_min[1] + j * grid.cell_size
+    out[:, 2] = grid.bbox_min[2] + k * grid.cell_size
+    return out
 
 
 def build_shell_plan(
@@ -113,16 +141,21 @@ def build_shell_plan(
     factor: int = DEFAULT_COARSE_FACTOR,
 ) -> ShellPlan:
     n = grid.n
-    d = _node_dist_edt(grid, src_points)
-    # cell-diagonal margin: EDT distances are to cell centers, the true point
-    # can be closer by up to sqrt(3) h (+ the node itself sits on the lattice)
-    margin = np.sqrt(3.0) * grid.cell_size
-    shell_mask = (lam * np.maximum(d - margin, 0.0)) <= shell_t
+    d, edt_cell, f = _node_dist_edt(grid, src_points)
+    # margin: EDT distances are raster-cell-center to raster-cell-center; the
+    # true point can be closer by a raster-cell diagonal, and a fine node is
+    # up to half a diagonal from its raster cell's center
+    margin = 2.0 * np.sqrt(3.0) * edt_cell
+    shell_coarse = (lam * np.maximum(d - margin, 0.0)) <= shell_t  # (ne,)*3
+    if f > 1:
+        shell_mask = np.repeat(
+            np.repeat(np.repeat(shell_coarse, f, axis=0), f, axis=1), f, axis=2
+        )[:n, :n, :n]
+    else:
+        shell_mask = shell_coarse
     shell_idx = np.nonzero(shell_mask.reshape(-1))[0].astype(np.int32)
-    # flat order is i + j*n + k*n^2 == C-order [k, j, i]; node_positions()
-    # emits exactly that order
-    pos = grid.node_positions().astype(np.float32)
-    shell_pos = pos[shell_idx]
+    # flat order is i + j*n + k*n^2 == C-order [k, j, i]
+    shell_pos = _positions_of(shell_idx.astype(np.int64), grid)
 
     # coarse lattice: stride `factor`, always including the last node so the
     # interpolation never extrapolates
@@ -132,7 +165,7 @@ def build_shell_plan(
     m = len(idx)
     ii, jj, kk = np.meshgrid(idx, idx, idx, indexing="ij")  # (z, y, x)
     flat = (kk + jj * n + ii * n * n).reshape(-1)  # [k,j,i] ordering
-    coarse_pos = pos[flat]
+    coarse_pos = _positions_of(flat, grid)
 
     fine = np.arange(n)
     seg = np.clip(np.searchsorted(idx, fine, side="right") - 1, 0, m - 2)
@@ -160,30 +193,45 @@ def assemble_shell_field(
     m: int,
 ) -> jnp.ndarray:
     """Trilinear direction upsample + renormalize, then overwrite the shell
-    rows with the exact kernel values.  Returns (n^3, 3) in flat node order."""
+    rows with the exact kernel values.  Returns (n^3, 3) in flat node order.
+
+    The separable interpolation runs as three dense (n, m) matmuls on the MXU
+    — an 8-corner advanced-indexing gather lowers to a serialized TPU gather
+    and measured ~1.3 s at 256^3, vs milliseconds for the matmul form."""
+    dtype = Y_coarse.dtype
+    ar = jnp.arange(n)
+    W = (
+        jnp.zeros((n, m), dtype)
+        .at[ar, lo].add(1.0 - w)
+        .at[ar, lo + 1].add(w)
+    )
     Yc = Y_coarse.reshape(m, m, m, 3)
-    loz = lo[:, None, None]
-    loy = lo[None, :, None]
-    lox = lo[None, None, :]
-    wz = w[:, None, None, None]
-    wy = w[None, :, None, None]
-    wx = w[None, None, :, None]
-    up = jnp.zeros((n, n, n, 3), Y_coarse.dtype)
-    for dz in (0, 1):
-        az = (1.0 - wz) if dz == 0 else wz
-        for dy in (0, 1):
-            ay = (1.0 - wy) if dy == 0 else wy
-            for dx in (0, 1):
-                ax = (1.0 - wx) if dx == 0 else wx
-                up = up + (az * ay * ax) * Yc[loz + dz, loy + dy, lox + dx]
+    up = jnp.einsum("zi,ijkc->zjkc", W, Yc, preferred_element_type=dtype)
+    up = jnp.einsum("yj,zjkc->zykc", W, up, preferred_element_type=dtype)
+    up = jnp.einsum("xk,zykc->zyxc", W, up, preferred_element_type=dtype)
     nrm = jnp.sqrt(jnp.sum(up * up, axis=-1, keepdims=True))
-    up = up / jnp.maximum(nrm, jnp.finfo(Y_coarse.dtype).tiny)
+    up = up / jnp.maximum(nrm, jnp.finfo(dtype).tiny)
     Y = up.reshape(n * n * n, 3)
     return Y.at[shell_idx].set(Y_shell)
 
 
+class DeviceShellPlan:
+    """ShellPlan arrays resident on device (cached across warm solves: the
+    shell/coarse query positions are megabytes that would otherwise re-cross
+    the host->device tunnel every solve)."""
+
+    def __init__(self, plan: ShellPlan):
+        self.shell_idx = jnp.asarray(plan.shell_idx)
+        self.shell_pos = jnp.asarray(plan.shell_pos)
+        self.coarse_pos = jnp.asarray(plan.coarse_pos)
+        self.lo = jnp.asarray(plan.lo)
+        self.w = jnp.asarray(plan.w)
+        self.m = plan.m
+        self.shell_fraction = plan.shell_fraction
+
+
 def yukawa_field_shell(
-    plan: ShellPlan,
+    plan,
     src_points: jnp.ndarray,
     src_vectors: jnp.ndarray,
     lam,
@@ -191,8 +239,9 @@ def yukawa_field_shell(
     yukawa_fn=None,
 ) -> jnp.ndarray:
     """Shell-decomposed Step 1&2: exact kernel on shell + coarse nodes, then
-    interpolated assembly.  ``yukawa_fn`` defaults to the dispatching
-    shm3d.ops.yukawa.yukawa_field (Pallas on TPU, XLA elsewhere)."""
+    interpolated assembly.  ``plan`` is a ShellPlan or DeviceShellPlan;
+    ``yukawa_fn`` defaults to the dispatching shm3d.ops.yukawa.yukawa_field
+    (Pallas on TPU, XLA elsewhere)."""
     if yukawa_fn is None:
         from .yukawa import yukawa_field as yukawa_fn
     Y_coarse = yukawa_fn(jnp.asarray(plan.coarse_pos), src_points, src_vectors, lam)

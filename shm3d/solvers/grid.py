@@ -55,13 +55,16 @@ class GridResult:
     transfer costs ~0.5 s at 128^3 and device-side consumers (isosurface
     extraction, downstream jnp ops) never need it."""
 
-    def __init__(self, phi_dev, grid: griddom.GridSpec, Y=None):
+    def __init__(self, phi_dev, grid: griddom.GridSpec, Y=None, u_dev=None):
         self._phi_dev = phi_dev
         self._phi_host: Optional[np.ndarray] = None
         self.grid = grid
         # (N, 3) normalized vector field; left on device (jax array) to avoid
         # an eager host transfer — np.asarray(result.Y) pulls it when needed.
         self.Y = Y
+        # (N,) primal solution of the projected system BEFORE the phi = -u
+        # sign flip and mean shift (exact-integration path only).
+        self.u_device = u_dev
 
     @property
     def phi(self) -> np.ndarray:
@@ -176,6 +179,13 @@ def _solve_pinned(
 
 # --- large-m tier: Python-level PCG with exact f64 host projection --------
 
+# Measured at 256^3 (SprayBottle): a stronger 2-V-cycle preconditioner left
+# the host-projected iteration count unchanged (56 -> 56) — the count is set
+# by the f32 noise floor and constraint coupling, not by smooth-mode
+# convergence — so the extra cycle is pure overhead.  Kept as a constant for
+# future experiments.
+HOSTPROJ_MG_CYCLES = 1
+
 
 @jax.jit
 def _a_apply_j(v, nodes8, coeffs8):
@@ -192,9 +202,11 @@ def _hmatvec_j(u, cell_size, shape):
     return -stencil.laplacian_apply(u.reshape(shape), cell_size).reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("shape",))
-def _mg_j(r, cell_size, shape):
-    return multigrid.make_node_preconditioner(shape, cell_size, dtype=r.dtype)(r)
+@functools.partial(jax.jit, static_argnames=("shape", "cycles"))
+def _mg_j(r, cell_size, shape, cycles: int = 1):
+    return multigrid.make_node_preconditioner(
+        shape, cell_size, dtype=r.dtype, cycles=cycles
+    )(r)
 
 
 @functools.partial(jax.jit, static_argnames=("shape",))
@@ -204,8 +216,9 @@ def _hp_step1(p, nodes8, coeffs8, cell_size, shape):
     return Ap_raw, projection.a_apply(Ap_raw, nodes8, coeffs8)
 
 
-@functools.partial(jax.jit, static_argnames=("shape",))
-def _hp_step2(u, r, p, Ap_raw, z1, rz, nodes8, coeffs8, cell_size, shape):
+@functools.partial(jax.jit, static_argnames=("shape", "cycles"))
+def _hp_step2(u, r, p, Ap_raw, z1, rz, nodes8, coeffs8, cell_size, shape,
+              cycles: int = 1):
     """Finish the projected matvec, take the CG step, start the projected
     preconditioner application (second host solve)."""
     N = u.shape[0]
@@ -216,7 +229,9 @@ def _hp_step2(u, r, p, Ap_raw, z1, rz, nodes8, coeffs8, cell_size, shape):
     alpha = jnp.where(pAp != 0, rz / pAp, 0.0)
     u = u + alpha * p
     r = r - alpha * Ap
-    Mr = multigrid.make_node_preconditioner(shape, cell_size, dtype=r.dtype)(r)
+    Mr = multigrid.make_node_preconditioner(
+        shape, cell_size, dtype=r.dtype, cycles=cycles
+    )(r)
     return u, r, Mr, projection.a_apply(Mr, nodes8, coeffs8)
 
 
@@ -265,13 +280,15 @@ def _solve_pinned_hostproj(
         return _sub_at_j(v, jnp.asarray(z, dtype), nodes8, coeffs8)
 
     Pb = proj(b)
-    z0 = proj(_mg_j(Pb, cell_size, shape))
+    z0 = proj(_mg_j(Pb, cell_size, shape, cycles=HOSTPROJ_MG_CYCLES))
     bnorm = float(jnp.sqrt(jnp.abs(jnp.vdot(Pb, z0))))
     threshold = tol * max(bnorm, float(np.finfo(np.float32).tiny))
 
-    u = jnp.zeros_like(b) if x0 is None else x0
+    # warm starts (cascadic coarse-level prolongation) arrive outside ker(A);
+    # the iteration only corrects within ker(A), so project first
+    u = jnp.zeros_like(b) if x0 is None else proj(x0)
     r = Pb - proj(_hmatvec_j(u, cell_size, shape))
-    z = proj(_mg_j(r, cell_size, shape))
+    z = proj(_mg_j(r, cell_size, shape, cycles=HOSTPROJ_MG_CYCLES))
     rz = jnp.vdot(r, z)
     p = z
     best = float(jnp.sqrt(jnp.abs(rz)))
@@ -283,7 +300,8 @@ def _solve_pinned_hostproj(
             Ap_raw, a1 = _hp_step1(p, nodes8, coeffs8, cell_size, shape)
             z1 = jnp.asarray(lu.solve(np.asarray(a1, np.float64)), dtype)
             u, r, Mr, a2 = _hp_step2(u, r, p, Ap_raw, z1, rz,
-                                     nodes8, coeffs8, cell_size, shape)
+                                     nodes8, coeffs8, cell_size, shape,
+                                     cycles=HOSTPROJ_MG_CYCLES)
             z2 = jnp.asarray(lu.solve(np.asarray(a2, np.float64)), dtype)
             p, rz = _hp_step3(r, Mr, z2, p, rz, nodes8, coeffs8)
             k += 1
@@ -484,7 +502,7 @@ class GridSolver:
             if use_shell:
                 from ..ops import farfield
 
-                plan_key = ("shell_plan", lam, options.shell_t,
+                plan_key = ("shell_plan", "v2", lam, options.shell_t,
                             options.shell_coarse_factor)
                 plan = cached.get(plan_key)
                 if plan is None:
@@ -502,6 +520,7 @@ class GridSolver:
                         if options.disk_cache:
                             diskcache.save(("grid_shell",) + key + plan_key,
                                            plan.arrays())
+                    plan = farfield.DeviceShellPlan(plan)
                     cached[plan_key] = plan
                 tm.note(
                     f"shell decomposition: {plan.shell_fraction:.1%} exact nodes"
@@ -556,6 +575,11 @@ class GridSolver:
                     )
                     phi.block_until_ready()
         else:
+            # (A cascadic coarse-level warm start was measured here and
+            # removed: prolonging the h-1 solution cut only 56->60 fine
+            # iterations — MG-PCG spends its iterations on f32 noise and
+            # constraint coupling, not on the smooth error a coarse start
+            # removes — while costing a full coarse-level solve.)
             with tm.phase("step 3 (divergence + projected MG-PCG solve)"):
                 u, iters, resid = _integrate_exact(
                     Y,
@@ -577,13 +601,16 @@ class GridSolver:
                 with tm.phase("float64 defect correction"):
                     u = self._refine(u, Y, cached, grid, is_mesh, options, tm)
             phi = -u
+            u_dev = u
 
+        if options.fast_integration:
+            u_dev = None
         with tm.phase("mean shift along source"):
             phi = _mean_shift(phi, cached["src_nodes8"], cached["src_coeffs8"], cached["weights"])
             if hasattr(phi, "block_until_ready"):
                 phi.block_until_ready()  # the solve is done; only transfers remain
 
-        return GridResult(phi, grid, Y)
+        return GridResult(phi, grid, Y, u_dev=u_dev)
 
     def _refine(self, u, Y, cached, grid, is_mesh, options, tm=None):
         """f64 defect correction around the f32 device solve.
