@@ -87,6 +87,17 @@ class SignedHeatOptions:
     # "minres_kkt" (block-preconditioned MINRES on the saddle; retained for
     # comparison, not mesh-independent).
     solver_method: str = "projected_cg"
+    # At-scale grid pinning tier: when the per-occupied-cell constraint row
+    # count exceeds the exact-orthonormalization cap (projection.
+    # ORTHO_GRAM_CAP), the f32 device solve pins a spatially subsampled
+    # subset of at most this many rows (one per cell brick — spatial
+    # separation keeps the subset's Gram well-conditioned, so the whitened
+    # projector is f32-stable and the whole Step 3 stays on device).  The
+    # f64 defect correction projects with the FULL row set, restoring exact
+    # constraint parity.  None disables subsampling: Step 3 then runs the
+    # host-projected loop (exact f64 Gram solves every iteration; ~20x
+    # slower at 256^3 over the TPU tunnel).
+    max_device_pins: Optional[int] = 4096
     # Iterative refinement: after an f32 solve, compute the residual in f64 on
     # host/device and correct. Gives near-f64 accuracy at f32 speed. Skipped
     # when the f64 relative residual is already below refine_target.
@@ -116,4 +127,5 @@ class SignedHeatOptions:
         """Key over the options that affect the cached discretization /
         operator artifacts (reference contract: rebuild on hCoef change,
         /root/reference/src/main.cpp:146-147)."""
-        return (self.h_coef, self.scale, self.dtype, self.conforming)
+        return (self.h_coef, self.scale, self.dtype, self.conforming,
+                self.max_device_pins)

@@ -202,6 +202,42 @@ def constraint_rows(grid: GridSpec, source_points: np.ndarray):
     return trilinear_rows(grid, pts[keep])
 
 
+def subsample_pin_rows(
+    grid: GridSpec, nodes8: np.ndarray, coeffs8: np.ndarray, target: int
+) -> np.ndarray:
+    """Spatially decimate pinning rows to at most ``target`` (sorted indices).
+
+    Used by the at-scale grid Step-3 tier (shm3d.solve.projection): the full
+    per-occupied-cell row set is kept for the exact f64 refinement, but the
+    f32 device solve pins one cell per s^3-cell brick (smallest s that meets
+    the target).  Spatial separation is what makes the subsampled Gram
+    well-conditioned (measured cond 1.3e3 at 256^3/SprayBottle vs 1.9e6 for
+    the full rows, whose near-parallel adjacent-cell rows form a continuum of
+    tiny eigenvalues); within each brick the row whose pin point is most
+    cell-interior is kept (max-min trilinear coefficient), pushing kept pin
+    points further apart.
+    """
+    m = nodes8.shape[0]
+    if m <= target:
+        return np.arange(m)
+    base = nodes8.min(axis=1)
+    n = grid.n
+    ci = base % n
+    cj = (base // n) % n
+    ck = base // (n * n)
+    interior = np.asarray(coeffs8).min(axis=1)
+    for s in range(2, n + 1):
+        nb = (n + s - 1) // s
+        brick = (ci // s) + (cj // s) * nb + (ck // s) * nb * nb
+        if np.unique(brick).size <= target:
+            order = np.lexsort((-interior, brick))
+            b_sorted = brick[order]
+            first = np.ones(m, dtype=bool)
+            first[1:] = b_sorted[1:] != b_sorted[:-1]
+            return np.sort(order[first])
+    return np.arange(m)  # unreachable: s = n is a single brick
+
+
 def evaluate_trilinear(grid: GridSpec, u: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Trilinear evaluation of a node function at points q
     (evaluateFunction, signed_heat_grid_solver.cpp:404-431)."""

@@ -76,12 +76,18 @@ class GramTable(NamedTuple):
       nodes; application is two MXU matvecs.  Costs O(m^3) host time and
       O(m * nt) device bytes — both prohibitive past a few thousand rows
       (the B transfer alone is ~0.5 GB at m=4k over the TPU tunnel).
-    - ``bmat`` is None (m > ORTHO_GRAM_CAP — the at-scale path): the solver
-      runs its Krylov loop at the Python level and applies the EXACT f64
-      host projection (sparse splu of the Gram, ``host_gram_factor``) every
-      iteration, shipping only the (m,) constraint-space vectors across the
-      host<->device boundary (~50 KB each way; the A / A^T applications
-      stay on device).  This replaced two failed device-side designs:
+    - ``tmat`` set (m > ORTHO_GRAM_CAP, rows SUBSAMPLED to spatial
+      separation — the default at-scale path): compact whitening factor
+      T = L^{-1} D^{-1/2} (see ``build_tform_arrays``); the device solve
+      pins a well-conditioned spatial subset of the rows entirely on
+      device, and the f64 defect correction (which projects with the FULL
+      row set through ``host_gram_factor``) restores exact parity.
+    - neither set (m > ORTHO_GRAM_CAP with subsampling disabled,
+      ``options.max_device_pins=None``): the solver runs its Krylov loop at
+      the Python level and applies the EXACT f64 host projection (sparse
+      splu of the Gram, ``host_gram_factor``) every iteration, shipping
+      only the (m,) constraint-space vectors across the host<->device
+      boundary (~50 KB each way; the A / A^T applications stay on device).  This replaced two failed device-side designs:
       a dense f64-factored inverse applied in f32 (eps*sqrt(cond) noise
       floor — diverged outright at 256^3, rel-res 29), and a deflated-
       isometry + fixed-degree Chebyshev iteration (exact in f64 CPU tests
@@ -99,6 +105,7 @@ class GramTable(NamedTuple):
     dinv: Optional[jnp.ndarray] = None     # (m,) diag^{-1/2} Jacobi scaling
     bmat: Optional[jnp.ndarray] = None     # (r, nt) orthonormalized rows
     touched: Optional[jnp.ndarray] = None  # (nt,) int32 touched node ids
+    tmat: Optional[jnp.ndarray] = None     # (r, m) whitening factor (T-form)
 
 
 # Largest m for which the rows are re-orthonormalized on host (dense f64
@@ -167,10 +174,59 @@ def build_gram_arrays(
     return out
 
 
+def build_tform_arrays(nodes8: np.ndarray, coeffs8: np.ndarray, n: int) -> dict:
+    """Compact whitening factor for WELL-SEPARATED pinning rows (the
+    subsampled at-scale tier; see ``subsample_pin_rows``).
+
+    With G = A A^T, D = diag(G) and the f64 Cholesky D^{-1/2} G D^{-1/2}
+    = L L^T, the factor T = L^{-1} D^{-1/2} makes W = T A a partial isometry
+    (W W^T = I exactly), so P = I - A^T T^T T A.  Unlike ``bmat`` (which
+    materializes W on the touched nodes, O(m * nt) bytes), T is (m, m) —
+    65 MB at m = 4k — and W is applied in factored form W v = T (A v).  The
+    factored application amplifies the f32 rounding of (A v) by ||T||_2,
+    which is why this tier REQUIRES subsampled (spatially separated) rows:
+    ||T|| = (min eig of the scaled Gram)^{-1/2} ~ 17 measured at
+    256^3/SprayBottle (projection error ~1e-6 in f32), versus ~4e3 for the
+    full near-parallel row set (the failed round-1 dense-inverse tier).
+    Falls back to a truncated eigendecomposition if the Cholesky fails.
+    """
+    import scipy.linalg as sla
+    import scipy.sparse as sp
+
+    m = nodes8.shape[0]
+    rows = np.repeat(np.arange(m), 8)
+    A = sp.coo_matrix(
+        (coeffs8.reshape(-1), (rows, nodes8.reshape(-1))), shape=(m, n)
+    ).tocsr()
+    G = (A @ A.T).tocsr()
+    G.sum_duplicates()
+    nnz = np.diff(G.indptr)
+    K = int(nnz.max())
+    idx = np.zeros((m, K), dtype=np.int32)
+    val = np.zeros((m, K), dtype=np.float64)
+    r = np.repeat(np.arange(m), nnz)
+    c = np.arange(G.nnz) - np.repeat(G.indptr[:-1], nnz)
+    idx[r, c] = G.indices
+    val[r, c] = G.data
+
+    d = G.diagonal()
+    dscale = 1.0 / np.sqrt(d)
+    Gs = (sp.diags(dscale) @ G @ sp.diags(dscale)).toarray()
+    try:
+        L = sla.cholesky(Gs, lower=True)
+        T = sla.solve_triangular(L, np.eye(m), lower=True) * dscale[None, :]
+    except np.linalg.LinAlgError:
+        lam, Q = np.linalg.eigh(Gs)
+        keep = lam > 1e-10 * lam[-1]
+        T = (Q[:, keep] / np.sqrt(lam[keep])).T * dscale[None, :]
+    return {"idx": idx, "val": val, "diag": d, "tmat": T}
+
+
 def gram_from_arrays(arr: dict, dtype) -> GramTable:
     """Device GramTable from (possibly disk-loaded) host arrays."""
     bmat = arr.get("bmat")
     touched = arr.get("touched")
+    tmat = arr.get("tmat")
     return GramTable(
         jnp.asarray(arr["idx"]),
         jnp.asarray(arr["val"], dtype),
@@ -179,6 +235,7 @@ def gram_from_arrays(arr: dict, dtype) -> GramTable:
         None,
         None if bmat is None else jnp.asarray(bmat, dtype),
         None if touched is None else jnp.asarray(touched, jnp.int32),
+        None if tmat is None else jnp.asarray(tmat, dtype),
     )
 
 
@@ -192,10 +249,24 @@ def build_gram_table(
 
 
 def make_projector(nodes8, coeffs8, gram: GramTable, n: int):
-    """P v = v - A^T (A A^T)^{-1} A v via the host-orthonormalized partial
-    isometry — exact in f32, two MXU matvecs.  Only valid when the ortho
-    artifacts exist (m <= ORTHO_GRAM_CAP); larger problems run the
-    host-projected Python-level loop instead (solvers/grid.py)."""
+    """P v = v - A^T (A A^T)^{-1} A v via a host-whitened partial isometry —
+    stable in f32, MXU matvecs.  Two modes:
+
+    - ``bmat``: W materialized on the touched nodes (m <= ORTHO_GRAM_CAP,
+      arbitrary conditioning — the strict oracle-parity regime).
+    - ``tmat``: W = T A applied in factored form (the subsampled at-scale
+      tier; requires well-separated rows, see build_tform_arrays).
+
+    When neither artifact exists the caller must run the host-projected
+    Python-level loop instead (solvers/grid.py)."""
+    if gram.tmat is not None:
+
+        def project_t(v):
+            a = a_apply(v, nodes8, coeffs8)
+            w = gram.tmat @ a
+            return v - at_apply(gram.tmat.T @ w, nodes8, coeffs8, n)
+
+        return project_t
 
     def project(v):
         vs = v[gram.touched]

@@ -145,10 +145,10 @@ def _solve_pinned(
     A chunk that fails to shrink the preconditioned residual marks a stall
     (dtype roundoff floor) and stops early instead of burning maxiter.
 
-    When the Gram table has no ortho artifacts (m > ORTHO_GRAM_CAP), the
-    loop runs at the Python level with the exact f64 host projection
-    (_solve_pinned_hostproj)."""
-    if gram.bmat is None:
+    When the Gram table has no whitening artifacts (m > ORTHO_GRAM_CAP and
+    subsampling disabled), the loop runs at the Python level with the exact
+    f64 host projection (_solve_pinned_hostproj)."""
+    if gram.bmat is None and gram.tmat is None:
         if host_gram is None:
             host_gram = projection.host_gram_factor(
                 np.asarray(nodes8), np.asarray(coeffs8, np.float64), b.shape[0]
@@ -581,10 +581,15 @@ class GridSolver:
             # constraint coupling, not on the smooth error a coarse start
             # removes — while costing a full coarse-level solve.)
             with tm.phase("step 3 (divergence + projected MG-PCG solve)"):
+                if cached.get("pin_keep") is not None:
+                    tm.note(
+                        f"device solve pins {cached['pin_nodes8'].shape[0]} of "
+                        f"{cached['nodes8'].shape[0]} rows (subsampled tier)"
+                    )
                 u, iters, resid = _integrate_exact(
                     Y,
-                    cached["nodes8"],
-                    cached["coeffs8"],
+                    cached["pin_nodes8"],
+                    cached["pin_coeffs8"],
                     jnp.asarray(grid.cell_size, dtype),
                     grid.shape,
                     is_mesh,
@@ -663,7 +668,37 @@ class GridSolver:
         the f32 dense-inverse projector carries an ~eps*sqrt(cond(AA^T))
         error floor that would otherwise cap refinement gains.  On TPU
         (x64 unavailable) the correction runs in f32 and refinement stops at
-        that floor (see shm3d.solve.projection docstring)."""
+        that floor (see shm3d.solve.projection docstring).
+
+        When the primary solve pinned a SUBSAMPLED row subset, the
+        correction must enforce the FULL row set (a correction computed in
+        the larger ker(A_sub) and projected back is not a contraction —
+        measured: the defect iteration DIVERGES at ~2x/step), so it runs
+        the host-projected loop with the exact f64 Gram factorization."""
+        if cached.get("pin_keep") is not None:
+            host = cached.get("host_gram")
+            if host is None:
+                host = projection.host_gram_factor(
+                    np.asarray(cached["nodes8"]), cached["coeffs8_f64"],
+                    grid.total_nodes,
+                )
+                cached["host_gram"] = host
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+            neutered = cached["gram"]._replace(bmat=None, tmat=None)
+            u, _, _ = _solve_pinned(
+                jnp.asarray(rhs_np, dtype),
+                jnp.asarray(np.asarray(cached["nodes8"]), jnp.int32),
+                jnp.asarray(cached["coeffs8_f64"], dtype),
+                neutered,
+                dtype(grid.cell_size),
+                grid.shape,
+                options.resolved_solver_tol(
+                    "float64" if jax.config.jax_enable_x64 else "float32"
+                ),
+                options.solver_maxiter,
+                host_gram=host,
+            )
+            return u
         if jax.config.jax_enable_x64:
             g64 = cached.get("gram64")
             if g64 is None:
@@ -691,8 +726,8 @@ class GridSolver:
             return u
         u, _, _ = _solve_pinned(
             jnp.asarray(rhs_np, jnp.float32),
-            cached["nodes8"],
-            cached["coeffs8"],
+            cached["pin_nodes8"],
+            cached["pin_coeffs8"],
             cached["gram"],
             jnp.float32(grid.cell_size),
             grid.shape,
@@ -739,9 +774,24 @@ class GridSolver:
         grid = griddom.build_grid(seed_pts, options.scale, options.h_coef)
         nodes8, coeffs8 = griddom.constraint_rows(grid, sources.points)
         src_nodes8, src_coeffs8 = griddom.trilinear_rows(grid, sources.points)
-        gram_arrays = projection.build_gram_arrays(
-            nodes8, coeffs8, grid.total_nodes, dtype
-        )
+        pin_keep = None
+        if (
+            options.max_device_pins is not None
+            and nodes8.shape[0] > projection.ORTHO_GRAM_CAP
+            and dtype == jnp.dtype("float32")
+        ):
+            # at-scale tier: the device solve pins a spatially subsampled,
+            # well-conditioned row subset (full rows kept for refinement)
+            pin_keep = griddom.subsample_pin_rows(
+                grid, nodes8, coeffs8, options.max_device_pins
+            )
+            gram_arrays = projection.build_tform_arrays(
+                nodes8[pin_keep], coeffs8[pin_keep], grid.total_nodes
+            )
+        else:
+            gram_arrays = projection.build_gram_arrays(
+                nodes8, coeffs8, grid.total_nodes, dtype
+            )
         arrays = dict(
             grid_bbox_min=np.asarray(grid.bbox_min, np.float64),
             grid_cell=np.float64(grid.cell_size),
@@ -757,6 +807,8 @@ class GridSolver:
         )
         for k, v in gram_arrays.items():
             arrays["gram_" + k] = v
+        if pin_keep is not None:
+            arrays["pin_keep"] = pin_keep.astype(np.int32)
         return arrays
 
     def _cached_from_arrays(self, arrays: dict, dtype) -> dict:
@@ -773,12 +825,21 @@ class GridSolver:
         gram = projection.gram_from_arrays(gram_arrays, dtype)
         nodes8 = np.asarray(arrays["nodes8"])
         coeffs8 = np.asarray(arrays["coeffs8"], np.float64)
+        pin_keep = arrays.get("pin_keep")
+        if pin_keep is not None:
+            pin_keep = np.asarray(pin_keep)
+            pin_nodes8, pin_coeffs8 = nodes8[pin_keep], coeffs8[pin_keep]
+        else:
+            pin_nodes8, pin_coeffs8 = nodes8, coeffs8
         cached = dict(
             grid=grid,
             spacing=float(arrays["spacing"]),
             nodes8=jnp.asarray(nodes8, jnp.int32),
             coeffs8=jnp.asarray(coeffs8, dtype),
             coeffs8_f64=coeffs8,  # host copy for refinement
+            pin_keep=pin_keep,
+            pin_nodes8=jnp.asarray(pin_nodes8, jnp.int32),
+            pin_coeffs8=jnp.asarray(pin_coeffs8, dtype),
             gram=gram,
             src_nodes8=jnp.asarray(arrays["src_nodes8"], jnp.int32),
             src_coeffs8=jnp.asarray(arrays["src_coeffs8"], dtype),
@@ -786,9 +847,9 @@ class GridSolver:
             vectors=jnp.asarray(arrays["vectors"], dtype),
             weights=jnp.asarray(arrays["weights"], dtype),
         )
-        if gram.bmat is None:
-            # large-m tier: the solve projects through the exact f64 host
-            # factorization every iteration — build it up front (fast splu)
+        if gram.bmat is None and gram.tmat is None:
+            # host-projected tier: the solve projects through the exact f64
+            # host factorization every iteration — build it up front (splu)
             cached["host_gram"] = projection.host_gram_factor(
                 nodes8, coeffs8, grid.total_nodes
             )

@@ -382,11 +382,54 @@ def test_host_projection_tier_matches_oracle(icosphere, monkeypatch):
 
     monkeypatch.setattr(projection, "ORTHO_GRAM_CAP", 0)
     opts = SignedHeatOptions(dtype="float64", solver_tol=1e-12,
-                             solver_maxiter=20000, refine_steps=0)
+                             solver_maxiter=20000, refine_steps=0,
+                             max_device_pins=None)
     expected = oracle.solve_grid(icosphere, opts)
     got = GridSolver().compute_distance(icosphere, opts)
     rel = np.linalg.norm(got.phi - expected.phi) / np.linalg.norm(expected.phi)
     assert rel < 1e-6, f"rel L2 {rel}"
+
+
+def test_subsampled_pin_tier_matches_oracle(icosphere, monkeypatch):
+    """The at-scale tier (m > ORTHO_GRAM_CAP with max_device_pins set): the
+    f32-style device solve pins a spatially subsampled row subset through the
+    compact T-form whitening (projection.build_tform_arrays), and the f64
+    defect correction — which projects with the FULL row set — restores
+    exact constraint parity vs the KKT oracle."""
+    from shm3d.solve import projection
+
+    monkeypatch.setattr(projection, "ORTHO_GRAM_CAP", 0)
+    opts = SignedHeatOptions(dtype="float32", refine_steps=0,
+                             max_device_pins=24)
+    solver = GridSolver()
+    got = solver.compute_distance(icosphere, opts)
+    cached = next(iter(solver._cache.values()))
+    m_full = cached["nodes8"].shape[0]
+    m_pin = cached["pin_nodes8"].shape[0]
+    assert cached["gram"].tmat is not None
+    assert 0 < m_pin <= 24 < m_full
+    # subsampled pins are satisfied by the device solve (to the f32 floor);
+    # the mean shift breaks A u = 0 by a constant, so measure the pre-shift
+    # primal solution
+    u = np.asarray(got.u_device, np.float64)
+    pin_res = np.abs(
+        (u[np.asarray(cached["pin_nodes8"])]
+         * np.asarray(cached["pin_coeffs8"], np.float64)).sum(axis=1)
+    ).max()
+    assert pin_res < 1e-3 * np.abs(u).max(), pin_res
+    # ... while the unpinned rows carry real slack (the subset semantics)
+    full_res = np.abs(
+        (u[np.asarray(cached["nodes8"])] * cached["coeffs8_f64"]).sum(axis=1)
+    ).max()
+    assert full_res > 10 * pin_res, (full_res, pin_res)
+
+    # with f32 compute + f64 refinement the FULL constraint set is restored
+    opts32 = SignedHeatOptions(dtype="float32", refine_steps=5,
+                               refine_target=1e-10, max_device_pins=24)
+    got32 = GridSolver().compute_distance(icosphere, opts32)
+    expected = oracle.solve_grid(icosphere, opts32.with_(dtype="float64"))
+    rel = np.linalg.norm(got32.phi - expected.phi) / np.linalg.norm(expected.phi)
+    assert rel < 1e-5, f"rel L2 {rel}"
 
 
 def test_chebyshev_solves_spd_window():
