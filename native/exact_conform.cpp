@@ -1292,7 +1292,10 @@ void face_candidate_tets(const XMesh& mb, const V3& a, const V3& b, const V3& c,
 
 constexpr int EDGE_IDX[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
 
+static long g_dbg_graze = 0, g_dbg_refused = 0;
+
 void recover_face(XMesh& mb, int64_t v0, int64_t v1, int64_t v2) {
+  if (getenv("SHM3D_DEBUG")) { g_dbg_graze = 0; g_dbg_refused = 0; }
   const Q3 A0 = mb.q[v0], A1 = mb.q[v1], A2 = mb.q[v2];
   // exact integer plane normal (components <= 2^66)
   const int64_t ux = A1.x - A0.x, uy = A1.y - A0.y, uz = A1.z - A0.z;
@@ -1344,8 +1347,41 @@ void recover_face(XMesh& mb, int64_t v0, int64_t v1, int64_t v2) {
       // slivers (same discipline as the edge walk; certificate arbitrates)
       int64_t graze = mb.nearest_vert(xq, DEDUP_Q);
       if (mb.vhash.count(xq) || graze >= 0) {
+        // A grazed crossing left unresolved is a HOLE: edge e still pierces
+        // the face but its crossing point was never materialized (measured
+        // on bunny_small: 6 grazes -> 6 area-certificate failures, each a
+        // single missing sliver).  The slab admits a whole segment of e
+        // (half-width TOL_P plane distance = 384 quanta >> the 64-quanta
+        // dedup ball), so slide the insertion along e, staying inside the
+        // slab and the face, until it exits every dedup ball.
+        bool placed = false;
+        double elen = norm(Qp - Pp);
+        if (elen > 0.0) {
+          for (double mult : {2.0, -2.0, 3.0, -3.0, 4.5, -4.5, 6.0, -6.0}) {
+            double t2 = t + mult * DEDUP_Q * mb.delta / elen;
+            if (t2 <= 1e-6 || t2 >= 1.0 - 1e-6) continue;
+            double f2 = dp + t2 * (dq - dp);
+            if (std::abs(f2) > slab) continue;  // left the on-plane slab
+            V3 X2 = Pp + (Qp - Pp) * t2;
+            double al2, be2, ga2;
+            tri_bary(X2, a, b, c, al2, be2, ga2);
+            if (al2 < -1e-7 || be2 < -1e-7 || ga2 < -1e-7) continue;
+            Q3 xq2 = mb.quantize(X2);
+            if (mb.vhash.count(xq2) || mb.nearest_vert(xq2, DEDUP_Q) >= 0)
+              continue;
+            int64_t xin = quality_insert_graded(mb, xq2);
+            if (xin >= 0) {
+              mb.prot.insert(xin);
+              ++inserted;
+              placed = true;
+              break;
+            }
+          }
+        }
+        if (placed) continue;
         if (graze >= 0) mb.prot.insert(graze);  // de-facto tiling corner
         resolved.insert(e);
+        if (getenv("SHM3D_DEBUG")) g_dbg_graze++;
         continue;
       }
       int64_t xin = quality_insert_graded(mb, xq);
@@ -1354,6 +1390,7 @@ void recover_face(XMesh& mb, int64_t v0, int64_t v1, int64_t v2) {
         ++inserted;
       } else {
         resolved.insert(e);  // locally refused: the certificate arbitrates
+        if (getenv("SHM3D_DEBUG")) g_dbg_refused++;
       }
     }
     if (inserted == 0) return;
@@ -1433,9 +1470,33 @@ void extract_subfaces(const XMesh& mb, int64_t v0, int64_t v1, int64_t v2,
   // asymmetric certificate: deficit = tiling hole (hard fail); bounded
   // excess = double-claimed coplanar neighbors (tolerated)
   if (sub_area < (1.0 - CERT) * area || sub_area > 2.0 * area) {
-    if (getenv("SHM3D_DEBUG"))
+    if (getenv("SHM3D_DEBUG")) {
       fprintf(stderr, "XCERT face=%lld area=%.6e sub=%.6e ratio=%.4f ntris=%zu\n",
               (long long)fi, area, sub_area, sub_area / area, local.size());
+      // dump every candidate's classification to identify the hole
+      for (int64_t tid : tids) {
+        auto T = mb.tet_verts(tid);
+        double d[4];
+        for (int j = 0; j < 4; ++j) d[j] = dot(mb.pos(T[j]) - a, nr);
+        for (int j = 0; j < 4; ++j) {
+          int64_t f0 = T[OPP_IN[j][0]], f1 = T[OPP_IN[j][1]], f2 = T[OPP_IN[j][2]];
+          double off = std::max({std::abs(d[OPP_IN[j][0]]),
+                                 std::abs(d[OPP_IN[j][1]]),
+                                 std::abs(d[OPP_IN[j][2]])});
+          if (off > 20.0 * tole) continue;
+          V3 ctr = (mb.pos(f0) + mb.pos(f1) + mb.pos(f2)) * (1.0 / 3.0);
+          double al, be, ga;
+          tri_bary(ctr, a, b, c, al, be, ga);
+          V3 p0 = mb.pos(f0), p1 = mb.pos(f1), p2 = mb.pos(f2);
+          double ar = 0.5 * norm(cross(p1 - p0, p2 - p0));
+          fprintf(stderr,
+                  "  cand f=(%lld,%lld,%lld) off/tole=%.3f bary=(%.2e,%.2e,%.2e)"
+                  " area/face=%.4f\n",
+                  (long long)f0, (long long)f1, (long long)f2, off / tole,
+                  al, be, ga, ar / area);
+        }
+      }
+    }
     throw XFail("extract: sub-face area certificate failed (exact)");
   }
   for (const auto& t : local) {
@@ -1499,13 +1560,25 @@ void* shm3d_conforming_build_exact(const double* src_xyz, int64_t V,
     }
     std::sort(E.begin(), E.end());
     E.erase(std::unique(E.begin(), E.end()), E.end());
-    for (const auto& e : E) recover_edge(mb, e.first, e.second);
+    const bool dbg = getenv("SHM3D_DEBUG") != nullptr;
+    for (size_t ei = 0; ei < E.size(); ++ei) {
+      if (dbg && ei % 5000 == 0)
+        fprintf(stderr, "XPROG edge %zu/%zu nv=%zu\n", ei, E.size(), mb.q.size());
+      recover_edge(mb, E[ei].first, E[ei].second);
+    }
+    if (dbg) fprintf(stderr, "XPROG edges done nv=%zu\n", mb.q.size());
 
     for (int64_t f = 0; f < F; ++f) {
       int64_t v0 = res->vertex_of[faces[3 * f]], v1 = res->vertex_of[faces[3 * f + 1]],
               v2 = res->vertex_of[faces[3 * f + 2]];
       if (v0 == v1 || v1 == v2 || v0 == v2) continue;
+      if (getenv("SHM3D_DEBUG") && f % 2000 == 0)
+        fprintf(stderr, "XPROG face %lld/%lld nv=%zu\n", (long long)f,
+                (long long)F, mb.q.size());
       recover_face(mb, v0, v1, v2);
+      if (getenv("SHM3D_DEBUG") && (g_dbg_graze || g_dbg_refused))
+        fprintf(stderr, "XFACE f=%lld graze=%ld refused=%ld\n",
+                (long long)f, g_dbg_graze, g_dbg_refused);
     }
 
     std::vector<std::array<int64_t, 3>> tris;

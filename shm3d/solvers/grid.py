@@ -586,6 +586,11 @@ class GridSolver:
                         f"device solve pins {cached['pin_nodes8'].shape[0]} of "
                         f"{cached['nodes8'].shape[0]} rows (subsampled tier)"
                     )
+                    if options.solver_tol is None:
+                        # the fast tier's accuracy is bounded by the pin
+                        # subsampling (~1e-3 relative, measured); iterating
+                        # the Krylov solve to 1e-5 past that is wasted work
+                        tol = max(tol, 1e-4)
                 u, iters, resid = _integrate_exact(
                     Y,
                     cached["pin_nodes8"],
