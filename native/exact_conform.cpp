@@ -32,6 +32,7 @@
 // contract (shm3d_common.h); shm3d/tet/native.py prefers it over the legacy
 // walk when present.
 
+#include <chrono>
 #include <cmath>
 #include <cstdint>
 #include <cstdio>
@@ -1544,6 +1545,22 @@ void* shm3d_conforming_build_exact(const double* src_xyz, int64_t V,
     delete res;
     return nullptr;
   }
+  // Wall-clock budget: recovery cost is input-dependent (scans whose
+  // features fall below the lattice scale blow up in Steiner insertions —
+  // knot/rocker/chair exceed 20+ minutes), and the caller has a documented
+  // fallback (the reference's own non-conforming vertex path,
+  // signed_heat_tet_solver.cpp:24-33).  Checked once per edge/face, so the
+  // bound is budget + one constraint's worst case.
+  double budget_s = 300.0;
+  if (const char* b = getenv("SHM3D_RECOVERY_BUDGET_S")) {
+    double v = atof(b);
+    if (v > 0.0) budget_s = v;
+  }
+  const auto t_start = std::chrono::steady_clock::now();
+  auto over_budget = [&]() {
+    return std::chrono::duration<double>(std::chrono::steady_clock::now() -
+                                         t_start).count() > budget_s;
+  };
   try {
     if (F == 0) throw XFail("no source faces");
     std::vector<std::pair<int64_t, int64_t>> E;
@@ -1564,6 +1581,8 @@ void* shm3d_conforming_build_exact(const double* src_xyz, int64_t V,
     for (size_t ei = 0; ei < E.size(); ++ei) {
       if (dbg && ei % 5000 == 0)
         fprintf(stderr, "XPROG edge %zu/%zu nv=%zu\n", ei, E.size(), mb.q.size());
+      if ((ei & 63) == 0 && over_budget())
+        throw XFail("recovery time budget exceeded (exact)");
       recover_edge(mb, E[ei].first, E[ei].second);
     }
     if (dbg) fprintf(stderr, "XPROG edges done nv=%zu\n", mb.q.size());
@@ -1575,6 +1594,8 @@ void* shm3d_conforming_build_exact(const double* src_xyz, int64_t V,
       if (getenv("SHM3D_DEBUG") && f % 2000 == 0)
         fprintf(stderr, "XPROG face %lld/%lld nv=%zu\n", (long long)f,
                 (long long)F, mb.q.size());
+      if ((f & 63) == 0 && over_budget())
+        throw XFail("recovery time budget exceeded (exact)");
       recover_face(mb, v0, v1, v2);
       if (getenv("SHM3D_DEBUG") && (g_dbg_graze || g_dbg_refused))
         fprintf(stderr, "XFACE f=%lld graze=%ld refused=%ld\n",

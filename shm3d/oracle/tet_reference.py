@@ -122,7 +122,8 @@ def solve_cr(mesh, geom, Y: np.ndarray, options: SignedHeatOptions) -> np.ndarra
     tet.cr_solver.CRPath.integrate so the device path can be verified
     against it (reference :234-317)."""
     from ..tet import fem as fem_mod
-    from ..tet.cr_solver import face_component_rows
+    from ..tet.cr_solver import (face_component_rows, projection_regularization,
+                                 repair_mass_starved)
 
     cr = fem_mod.build_cr_operators(mesh)
     L = cr.L_scipy()
@@ -172,7 +173,11 @@ def solve_cr(mesh, geom, Y: np.ndarray, options: SignedHeatOptions) -> np.ndarra
     A = cr.A_scipy()
     M = cr.M_scipy()
     P = (A.T @ M @ A).tocsc()
-    return spla.spsolve(P, A.T @ (M @ phi_f))
+    # same regularization + mass-starved repair as CRPath.integrate
+    shift, weak = projection_regularization(np.asarray(P.diagonal()))
+    P = P + shift * sp.eye(P.shape[0], format="csc")
+    w = spla.spsolve(P, A.T @ (M @ phi_f))
+    return repair_mass_starved(w, weak, np.asarray(mesh.tets))
 
 
 def _face_shift(phi_f: np.ndarray, sfids: np.ndarray, areas: np.ndarray) -> float:

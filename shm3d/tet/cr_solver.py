@@ -165,17 +165,70 @@ def _cr_multiple_chunk(div, x0, rows, cols, vals, diag,
     return res.x, res.iterations, res.residual
 
 
-@functools.partial(jax.jit, static_argnames=("nv", "tol", "chunk"))
-def _project_chunk(bvec, x0, p_rows, p_cols, p_vals, p_diag, nv: int, tol: float, chunk: int):
-    """(A^T M A) w = b, SPD (projectOntoVertices, :790-810)."""
+@functools.partial(jax.jit, static_argnames=("nv", "tol", "chunk", "shift"))
+def _project_chunk(bvec, x0, p_rows, p_cols, p_vals, p_diag, nv: int, tol: float,
+                   chunk: int, shift: float = 0.0):
+    """(A^T M A + shift I) w = b, SPD (projectOntoVertices, :790-810;
+    shift = the relative Tikhonov of projection_regularization)."""
     def matvec(x):
-        return _coo_matvec(x, p_rows, p_cols, p_vals)
+        return _coo_matvec(x, p_rows, p_cols, p_vals) + shift * x
 
     precond = lambda r: r / p_diag
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(bvec, precond(bvec))))
     res = krylov.cg(matvec, bvec, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(bvec.dtype))
     return res.x, res.iterations, res.residual
+
+
+# --- projection regularization on sliver-bearing recovery meshes ----------
+
+PROJ_SHIFT_REL = 1e-8  # relative Tikhonov shift on the projection Gram
+PROJ_WEAK_REL = 1e-6   # mass-starved vertex flag threshold
+
+
+def projection_regularization(p_diag: np.ndarray):
+    """(shift, weak_vertex_ids) for the L2 face->vertex projection Gram.
+
+    Conforming recovery meshes carry near-degenerate tets whose faces have
+    ~zero mass; a vertex incident ONLY to such faces has a ~zero Gram row —
+    the projection there is underdetermined and spikes (measured -2.9 in an
+    otherwise [-0.55, 4.4] field on the recovered bunny_small; with two
+    exactly-degenerate tets the direct oracle factorization is outright
+    singular).  A shift of 1e-8x the median diagonal regularizes the solve
+    without measurably perturbing healthy vertices; the flagged rows are
+    then repaired by ``repair_mass_starved``.  On quality meshes the weak
+    set is empty and the shift is a 1e-8 relative no-op."""
+    pos = p_diag[p_diag > 0]
+    med = float(np.median(pos)) if pos.size else 1.0
+    shift = PROJ_SHIFT_REL * med
+    weak = np.nonzero(p_diag < PROJ_WEAK_REL * med)[0].astype(np.int64)
+    return shift, weak
+
+
+def repair_mass_starved(w: np.ndarray, weak: np.ndarray, tets: np.ndarray,
+                        sweeps: int = 3) -> np.ndarray:
+    """Replace mass-starved vertices' projected values by the mean of their
+    tet-edge neighbors (host; the weak set is a handful of vertices).
+    Healthy neighbors are preferred; weak-weak chains resolve over the
+    sweeps."""
+    if weak.size == 0:
+        return w
+    weak_set = {int(v) for v in weak}
+    nbrs = {int(v): set() for v in weak}
+    mask = np.isin(tets, weak).any(axis=1)
+    for t in tets[mask]:
+        for v in t:
+            if int(v) in weak_set:
+                for u in t:
+                    if int(u) != int(v):
+                        nbrs[int(v)].add(int(u))
+    w = np.array(w, dtype=np.float64, copy=True)
+    for _ in range(sweeps):
+        for v in weak:
+            nb = [u for u in nbrs[int(v)] if u not in weak_set] or list(nbrs[int(v)])
+            if nb:
+                w[int(v)] = float(np.mean(w[nb]))
+    return w
 
 
 def face_component_rows(surface_faces: np.ndarray, components) -> Tuple[np.ndarray, np.ndarray]:
@@ -230,7 +283,8 @@ class CRPath:
         order = np.lexsort((P.col, P.row))
         p_rows, p_cols, p_vals = P.row[order], P.col[order], P.data[order]
         p_diag = np.asarray(P.diagonal())
-        p_diag = np.where(np.abs(p_diag) > 0, p_diag, 1.0)
+        self._proj_shift, self._proj_weak = projection_regularization(p_diag)
+        p_diag = np.where(np.abs(p_diag) > 0, p_diag, 1.0) + self._proj_shift
 
         self.arrays = dict(
             rows=jnp.asarray(cr.L_rows, jnp.int32),
@@ -314,10 +368,16 @@ class CRPath:
         )
         fnp = lambda x0, c: _project_chunk(
             b, x0, a["p_rows"], a["p_cols"], a["p_vals"], a["p_diag"],
-            nv=nv, tol=tol, chunk=c)
+            nv=nv, tol=tol, chunk=c, shift=float(self._proj_shift))
         w, it2, r2 = _run_chunked(fnp, jnp.zeros(nv, self.dtype), tol, maxiter)
         self.last_stats = {"iters": int(it1), "residual": float(r1),
                            "proj_iters": int(it2), "proj_residual": float(r2)}
+        if self._proj_weak.size:
+            w = jnp.asarray(
+                repair_mass_starved(np.asarray(w, np.float64), self._proj_weak,
+                                    np.asarray(self.mesh.tets)),
+                self.dtype,
+            )
         # The reference returns -phi here (:316) to compensate its internal
         # divergence sign convention; our faceDivergence is built from
         # outward-positive signed normals (mesher tet_face_sign), which

@@ -249,18 +249,42 @@ def build_cr_operators(mesh: TetMesh) -> CROperators:
     # signed outward normals per (tet, corner)
     nrm = normals[mesh.tet_face] * mesh.tet_face_sign[..., None]  # (NT, 4, 3)
 
-    scale = np.maximum(vols.max(), 1e-300)
-    good = vols > 1e-14 * scale
     # Sliver regularization: the CR stiffness scales as 1/vol
     # (reference :623-648), so near-degenerate recovery tets produce huge
-    # near-singular couplings that stall Krylov solves.  Clamping the
-    # effective volume to a fraction of the median caps the condition
-    # number; the perturbation is local to slivers and the SciPy oracle
-    # builds the identical operator, so device/oracle parity is exact.
-    med = np.median(vols[good]) if good.any() else 1.0
-    vol_eff = np.maximum(vols, 1e-3 * med)
-    inv_vol = np.where(good, 1.0 / vol_eff, 0.0)
+    # near-singular couplings that stall Krylov solves.  Two caps, both
+    # per-tet PSD-preserving (positive scalings of the tet's normal-Gram
+    # contribution), so the assembled operator stays SPD after Dirichlet
+    # elimination; the SciPy oracle builds the identical operator, so
+    # device/oracle parity is exact:
+    #   1. effective volume floored at a fraction of the median — NEVER
+    #      zeroed: dropping a degenerate tet's contribution entirely gave
+    #      faces shared by two degenerate tets an exactly ZERO row
+    #      (measured on the recovered bunny_small: 5 sub-1e-14 tets -> 2
+    #      zero rows -> "Factor is exactly singular" in the direct oracle);
+    #   2. a flat "pancake" tet has near-cancelling LARGE face normals, so
+    #      even the floored 1/vol leaves couplings ~1e6x typical; cap each
+    #      tet's max |n_j . n_k| / vol_eff at 1e3x the median tet's.
+    med = np.median(vols) if vols.size else 1.0
+    vol_eff = np.maximum(vols, np.maximum(1e-3 * med, 1e-300))
+    inv_vol = 1.0 / vol_eff
+    nn_max = np.zeros(NT)
+    for j in range(4):
+        for k in range(j + 1, 4):
+            nn_max = np.maximum(
+                nn_max, np.abs(np.einsum("ij,ij->i", nrm[:, j], nrm[:, k]))
+            )
+    raw = nn_max * inv_vol
+    cap = 1e3 * np.median(raw[raw > 0]) if (raw > 0).any() else np.inf
+    inv_vol = inv_vol * np.minimum(1.0, cap / np.maximum(raw, 1e-300))
 
+    # The mass matrix keeps the RAW volumes (reference :650-670): sliver
+    # faces carry distorted values from the capped stiffness rows, and a
+    # tiny mass is exactly what keeps them out of the L2 projection.
+    # (A floored mass was measured to AMPLIFY the spikes: -2.9 -> -41 on
+    # the recovered bunny_small.)  The residual near-zero rows of the
+    # projection Gram are handled at the projection solve instead
+    # (cr_solver.CRPath / oracle solve_cr: relative Tikhonov shift +
+    # neighbor-average repair of mass-starved vertices).
     Lr, Lc, Lv = [], [], []
     Mr, Mc, Mv = [], [], []
     for j in range(4):

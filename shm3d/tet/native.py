@@ -66,18 +66,48 @@ def conforming_build(src_points: np.ndarray, src_faces: np.ndarray,
     (vertices, tets, vertex_of, n_snapped, n_split, surface_tris|None,
     surface_parent|None) or None when unavailable.
 
-    Default is the tolerance-ladder walk (native/lattice_tet.cpp).  Set
-    SHM3D_EXACT_RECOVERY=1 to opt into the exact-predicate builder
-    (native/exact_conform.cpp: quantized integer coordinates + __int128
-    orient3d) — still work-in-progress: it can fail to terminate on dense
-    real-world meshes (bunny_small), so it is not yet the default."""
+    Builder chain (certificates arbitrate each stage):
+
+    1. the tolerance-ladder walk (native/lattice_tet.cpp) — fast and
+       produces sliver-free meshes on well-resolved geometry (it welds and
+       snaps); succeeds on procedural fixtures;
+    2. on certificate failure, the exact-predicate builder
+       (native/exact_conform.cpp: quantized integer coordinates + __int128
+       orient3d) — recovers reference scans the ladder cannot
+       (bunny_small: 43k certified sub-faces); it introduces delta-scale
+       slivers by design (the FEM operators carry the matching caps,
+       tet/fem.py) and a wall-clock budget (SHM3D_RECOVERY_BUDGET_S,
+       default 300 s) after which it cleanly fails into the reference's
+       own non-conforming vertex-path fallback
+       (signed_heat_tet_solver.cpp:24-33; knot/rocker/chair land there —
+       their features under-resolve the lattice and Steiner insertion
+       blows up).
+
+    SHM3D_EXACT_RECOVERY=1 forces exact-only; =0 forces ladder-only."""
     lib = _lib()
     if lib is None or not hasattr(lib, "shm3d_conforming_build"):
         return None
-    entry = "shm3d_conforming_build"
-    if (hasattr(lib, "shm3d_conforming_build_exact")
-            and os.environ.get("SHM3D_EXACT_RECOVERY")):
-        entry = "shm3d_conforming_build_exact"
+    entries = ["shm3d_conforming_build"]
+    if hasattr(lib, "shm3d_conforming_build_exact"):
+        entries.append("shm3d_conforming_build_exact")
+    mode = os.environ.get("SHM3D_EXACT_RECOVERY", "")
+    if mode == "0":
+        entries = ["shm3d_conforming_build"]
+    elif mode == "1":
+        entries = [e for e in entries if e.endswith("_exact")] or entries
+
+    out = None
+    for i, entry in enumerate(entries):
+        out = _conforming_call(lib, entry, src_points, src_faces, center,
+                               half_side, resolution,
+                               warn=(i == len(entries) - 1))
+        if out is not None and out[5] is not None:
+            return out
+    return out
+
+
+def _conforming_call(lib, entry, src_points, src_faces, center, half_side,
+                     resolution, warn=True):
     pts = np.ascontiguousarray(src_points, dtype=np.float64)
     fcs = np.ascontiguousarray(src_faces, dtype=np.int64)
     V, F = pts.shape[0], fcs.shape[0]
@@ -116,7 +146,7 @@ def conforming_build(src_points: np.ndarray, src_faces: np.ndarray,
         )
         ns = lib.shm3d_lattice_nsurf(handle)
         tris = parents = None
-        if ns == 0 and hasattr(lib, "shm3d_lattice_fail_reason"):
+        if ns == 0 and warn and hasattr(lib, "shm3d_lattice_fail_reason"):
             lib.shm3d_lattice_fail_reason.restype = ctypes.c_char_p
             lib.shm3d_lattice_fail_reason.argtypes = [ctypes.c_void_p]
             reason = lib.shm3d_lattice_fail_reason(handle)

@@ -28,7 +28,7 @@ from typing import Dict, Optional
 import numpy as np
 
 # bump when the artifact schema or any producer algorithm changes
-CACHE_VERSION = "g1"
+CACHE_VERSION = "g2"
 
 
 def cache_dir() -> str:

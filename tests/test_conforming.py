@@ -94,12 +94,17 @@ def test_recovery_failure_falls_back():
     assert tm.surface_faces is None
 
 
-def test_native_conforming_matches_python(conforming_mesh):
-    """The C++ recovery and the NumPy implementation are the same algorithm
-    (bit-identical arithmetic order) and must produce identical meshes."""
+def test_native_conforming_matches_python(conforming_mesh, monkeypatch):
+    """The C++ tolerance-ladder recovery and the NumPy implementation are
+    the same algorithm (bit-identical arithmetic order) and must produce
+    identical meshes.  The exact-predicate builder (the default) is a
+    DIFFERENT algorithm — pin the ladder entry for this parity check."""
     if not native.available() or not native.conforming_available():
         pytest.skip("native library not built (make -C native)")
-    mesh, tm_native = conforming_mesh
+    mesh, _ = conforming_mesh
+    monkeypatch.setenv("SHM3D_EXACT_RECOVERY", "0")
+    tm_native = build_tet_domain(mesh.vertices, scale=2.0, h_coef=0.0,
+                                 mean_area=0.05, src_faces=mesh.triangles())
     saved = (native._LIB, native._TRIED)
     try:
         native._LIB, native._TRIED = None, True
