@@ -68,7 +68,7 @@ constexpr double DEDUP_Q = 64.0;              // vertex dedup / graze ball
 constexpr double CLEAR_Q = 192.0;             // feature clearance for inserts
 constexpr double TOL_P = 384.0 / (double)QUNIT;  // piercing slab + corridor / h
 constexpr double TOL_E = 2.5e-4;              // on-plane membership / h
-constexpr double CERT = 2e-3;                 // relative area-certificate slack
+// (CERT 2e-3 per-face slack superseded by the two-tier CERT_FACE_HARD/CERT_TOTAL)
 
 constexpr int KUHN[6][4] = {
     {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
@@ -1380,12 +1380,27 @@ void recover_face(XMesh& mb, int64_t v0, int64_t v1, int64_t v2) {
           }
         }
         if (placed) continue;
+        // last resort: force the crossing in with NO quality floor (exact
+        // positivity is still verified by the split primitive).  A hole is
+        // strictly worse than a sliver — the FEM operators carry sliver
+        // caps (shm3d/tet/fem.py) precisely so recovery can afford this.
+        // At most one forced insertion per pierced edge (resolved either
+        // way), so cascades stay bounded.
+        if (!mb.vhash.count(xq)) {
+          int64_t xin = quality_insert(mb, xq, 0.0, -1);
+          if (xin >= 0) {
+            mb.prot.insert(xin);
+            ++inserted;
+            continue;
+          }
+        }
         if (graze >= 0) mb.prot.insert(graze);  // de-facto tiling corner
         resolved.insert(e);
         if (getenv("SHM3D_DEBUG")) g_dbg_graze++;
         continue;
       }
       int64_t xin = quality_insert_graded(mb, xq);
+      if (xin < 0) xin = quality_insert(mb, xq, 0.0, -1);  // sliver over hole
       if (xin >= 0) {
         mb.prot.insert(xin);
         ++inserted;
@@ -1403,13 +1418,24 @@ void recover_face(XMesh& mb, int64_t v0, int64_t v1, int64_t v2) {
 // extraction (double precision, certificate-arbitrated — mirrors
 // lattice_tet.cpp extract_subfaces / conforming._extract_subfaces)
 
+// Hard per-face floor for the two-tier certificate: a face tiling less
+// than this fraction of its area fails outright; smaller holes are
+// tolerated when the TOTAL deficit over the whole surface stays under
+// CERT_TOTAL (driver check) — the unpinned slack is then comparable to the
+// grid path's subsampled pinning (~1e-3 relative), far better than losing
+// the whole CR path to the vertex fallback over one sliver.
+constexpr double CERT_FACE_HARD = 5e-2;
+constexpr double CERT_TOTAL = 3e-3;
+
 void extract_subfaces(const XMesh& mb, int64_t v0, int64_t v1, int64_t v2,
                       int64_t fi, std::vector<std::array<int64_t, 3>>& tris,
-                      std::vector<int64_t>& parents) {
+                      std::vector<int64_t>& parents,
+                      double* area_out, double* deficit_out) {
   V3 a = mb.pos(v0), b = mb.pos(v1), c = mb.pos(v2);
   V3 nr = cross(b - a, c - a);
   double area = 0.5 * norm(nr);
   if (area <= 0.0) return;
+  *area_out += area;
   nr = nr * (1.0 / (2.0 * area));
   const double tole = TOL_E * mb.h;
 
@@ -1468,9 +1494,11 @@ void extract_subfaces(const XMesh& mb, int64_t v0, int64_t v1, int64_t v2,
     local.push_back(t);
     sub_area += 0.5 * norm(cross(p1 - p0, p2 - p0));
   }
-  // asymmetric certificate: deficit = tiling hole (hard fail); bounded
-  // excess = double-claimed coplanar neighbors (tolerated)
-  if (sub_area < (1.0 - CERT) * area || sub_area > 2.0 * area) {
+  // asymmetric certificate: deficit = tiling hole (hard fail below the
+  // per-face floor; small holes accumulate into the total-deficit check);
+  // bounded excess = double-claimed coplanar neighbors (tolerated)
+  if (sub_area < area) *deficit_out += area - sub_area;
+  if (sub_area < (1.0 - CERT_FACE_HARD) * area || sub_area > 2.0 * area) {
     if (getenv("SHM3D_DEBUG")) {
       fprintf(stderr, "XCERT face=%lld area=%.6e sub=%.6e ratio=%.4f ntris=%zu\n",
               (long long)fi, area, sub_area, sub_area / area, local.size());
@@ -1549,8 +1577,10 @@ void* shm3d_conforming_build_exact(const double* src_xyz, int64_t V,
   // features fall below the lattice scale blow up in Steiner insertions —
   // knot/rocker/chair exceed 20+ minutes), and the caller has a documented
   // fallback (the reference's own non-conforming vertex path,
-  // signed_heat_tet_solver.cpp:24-33).  Checked once per edge/face, so the
-  // bound is budget + one constraint's worst case.
+  // signed_heat_tet_solver.cpp:24-33).  Checked per edge/face (a check is a
+  // ~20 ns clock read; a single constraint's walk can take minutes on
+  // pathological inputs, so coarser check spacing let runs far exceed the
+  // budget), so the bound is budget + one constraint's worst case.
   double budget_s = 300.0;
   if (const char* b = getenv("SHM3D_RECOVERY_BUDGET_S")) {
     double v = atof(b);
@@ -1581,7 +1611,7 @@ void* shm3d_conforming_build_exact(const double* src_xyz, int64_t V,
     for (size_t ei = 0; ei < E.size(); ++ei) {
       if (dbg && ei % 5000 == 0)
         fprintf(stderr, "XPROG edge %zu/%zu nv=%zu\n", ei, E.size(), mb.q.size());
-      if ((ei & 63) == 0 && over_budget())
+      if (over_budget())
         throw XFail("recovery time budget exceeded (exact)");
       recover_edge(mb, E[ei].first, E[ei].second);
     }
@@ -1594,7 +1624,7 @@ void* shm3d_conforming_build_exact(const double* src_xyz, int64_t V,
       if (getenv("SHM3D_DEBUG") && f % 2000 == 0)
         fprintf(stderr, "XPROG face %lld/%lld nv=%zu\n", (long long)f,
                 (long long)F, mb.q.size());
-      if ((f & 63) == 0 && over_budget())
+      if (over_budget())
         throw XFail("recovery time budget exceeded (exact)");
       recover_face(mb, v0, v1, v2);
       if (getenv("SHM3D_DEBUG") && (g_dbg_graze || g_dbg_refused))
@@ -1604,13 +1634,21 @@ void* shm3d_conforming_build_exact(const double* src_xyz, int64_t V,
 
     std::vector<std::array<int64_t, 3>> tris;
     std::vector<int64_t> parents;
+    double cert_area = 0.0, cert_deficit = 0.0;
     for (int64_t f = 0; f < F; ++f) {
       int64_t v0 = res->vertex_of[faces[3 * f]], v1 = res->vertex_of[faces[3 * f + 1]],
               v2 = res->vertex_of[faces[3 * f + 2]];
       if (v0 == v1 || v1 == v2 || v0 == v2) continue;
-      extract_subfaces(mb, v0, v1, v2, f, tris, parents);
+      extract_subfaces(mb, v0, v1, v2, f, tris, parents,
+                       &cert_area, &cert_deficit);
     }
     if (tris.empty()) throw XFail("no recoverable faces");
+    if (cert_deficit > CERT_TOTAL * cert_area) {
+      if (getenv("SHM3D_DEBUG"))
+        fprintf(stderr, "XCERT total deficit %.3e of area %.3e (%.4f%%)\n",
+                cert_deficit, cert_area, 100.0 * cert_deficit / cert_area);
+      throw XFail("extract: total area-deficit certificate failed (exact)");
+    }
     res->surf_tris.reserve(tris.size() * 3);
     for (const auto& t : tris) {
       res->surf_tris.push_back(t[0]);

@@ -103,7 +103,7 @@ def _cr_zeroset_chunk(div, x0, rows, cols, vals, diag, surf_mask,
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x * surf_mask, res.iterations, res.residual
+    return res.x * surf_mask, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
 
 
 @functools.partial(jax.jit, static_argnames=("tol", "chunk", "mg_sizes"))
@@ -121,7 +121,7 @@ def _cr_none_chunk(div, x0, rows, cols, vals, diag,
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x, res.iterations, res.residual
+    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
 
 
 def _group_projector(group_elems, group_ids, group_winv, n_groups: int):
@@ -162,7 +162,7 @@ def _cr_multiple_chunk(div, x0, rows, cols, vals, diag,
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x, res.iterations, res.residual
+    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
 
 
 @functools.partial(jax.jit, static_argnames=("nv", "tol", "chunk", "shift"))
@@ -177,7 +177,7 @@ def _project_chunk(bvec, x0, p_rows, p_cols, p_vals, p_diag, nv: int, tol: float
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(bvec, precond(bvec))))
     res = krylov.cg(matvec, bvec, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(bvec.dtype))
-    return res.x, res.iterations, res.residual
+    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
 
 
 # --- projection regularization on sliver-bearing recovery meshes ----------

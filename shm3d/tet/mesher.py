@@ -42,6 +42,7 @@ reference :169-180,417-425,451-458).
 from __future__ import annotations
 
 import dataclasses
+import os
 import warnings
 from typing import Dict, List, Optional, Set, Tuple
 
@@ -702,16 +703,45 @@ def build_tet_domain(
             return _finalize_arrays(verts, tets, vertex_of, n_snapped, n_split)
 
     if src_faces is not None and native_mod.conforming_available():
-        out = native_mod.conforming_build(src_points, np.asarray(src_faces, np.int64),
-                                          c, s, nl)
-        if out is not None:
+        # Recoverability is resolution-dependent: a lattice that
+        # under-resolves the surface features makes Steiner recovery blow up
+        # or leave certificate holes, while 1.5-2x finer succeeds (measured:
+        # chair fails at its heuristic res 48 but certifies at 72 with 168k
+        # sub-faces; knot fails at 32/48 but certifies at its capped default
+        # 96 with 504k).  On certificate failure retry at higher resolutions
+        # up to the cap; the fallback mesh stays at the HEURISTIC resolution
+        # (the reference's fallback semantics, signed_heat_tet_solver.cpp:24-33).
+        n_retries = int(os.environ.get("SHM3D_RECOVERY_RETRIES", "2"))
+        attempts = [nl]
+        if n_retries >= 1 and int(np.ceil(nl * 1.5)) < lattice_cap:
+            attempts.append(int(np.ceil(nl * 1.5)))
+        if n_retries >= 1 and lattice_cap > nl:
+            attempts.append(lattice_cap)
+        attempts = sorted(set(attempts))[: 1 + max(0, n_retries)]
+        base_out = None
+        for nl_i in attempts:
+            out = native_mod.conforming_build(
+                src_points, np.asarray(src_faces, np.int64), c, s, nl_i)
+            if out is None:
+                break
             verts, tets, vertex_of, n_snapped, n_split, tris, parents = out
             if tris is not None:
+                if nl_i != nl:
+                    warnings.warn(
+                        f"conforming recovery succeeded at retry resolution "
+                        f"{nl_i} (heuristic {nl} left certificate holes)",
+                        stacklevel=2)
                 return _finalize_arrays(verts, tets, vertex_of, n_snapped, n_split,
                                         surface_tris=tris, surface_parent=parents,
                                         src_points=src_points, src_faces=src_faces)
-            warnings.warn("conforming surface recovery failed (native); using the "
-                          "non-conforming vertex-path mesh", stacklevel=2)
+            if base_out is None:
+                base_out = out
+        if base_out is not None:
+            verts, tets, vertex_of, n_snapped, n_split, tris, parents = base_out
+            warnings.warn(
+                f"conforming surface recovery failed (native) at resolutions "
+                f"{attempts}; using the non-conforming vertex-path mesh",
+                stacklevel=2)
             return _finalize_arrays(verts, tets, vertex_of, n_snapped, n_split)
 
     mb, vertex_of, n_snapped, n_split = _python_build(

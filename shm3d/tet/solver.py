@@ -126,7 +126,7 @@ def _zeroset_chunk(div, x0, rows, cols, vals, diagH, mg_levels, mg_coarse,
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x * mask, res.iterations, res.residual
+    return res.x * mask, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
 
 
 @functools.partial(jax.jit, static_argnames=("n", "tol", "chunk", "mg_sizes"))
@@ -145,7 +145,7 @@ def _none_chunk(div, x0, rows, cols, vals, diagH, mg_levels, mg_coarse,
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x, res.iterations, res.residual
+    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
 
 
 @functools.partial(jax.jit, static_argnames=("n_groups", "tol", "chunk", "mg_sizes"))
@@ -174,7 +174,7 @@ def _multiple_chunk(div, x0, rows, cols, vals, diagH,
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x, res.iterations, res.residual
+    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
 
 
 def _run_chunked(chunk_fn, x0, tol: float, maxiter: int, chunk: Optional[int] = None):
