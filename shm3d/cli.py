@@ -67,6 +67,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--profile", metavar="LOGDIR",
                    help="write a jax.profiler trace of the solve to LOGDIR "
                         "(view with TensorBoard/XProf)")
+    p.add_argument("--debug", action="store_true",
+                   help="numerical sanitizer: validate solver invariants at "
+                        "phase boundaries (finite fields, unit Step-2 rows, "
+                        "operator symmetry, constraint satisfaction); also "
+                        "enabled by SHM3D_DEBUG=1")
     return p
 
 
@@ -79,6 +84,10 @@ _CONSTRAINTS = {
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.debug:
+        from .utils import checks
+
+        checks.enable()
     geom = read_geometry(args.input)
 
     options = SignedHeatOptions(

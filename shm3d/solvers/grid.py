@@ -45,7 +45,7 @@ from ..ops import stencil
 from ..ops import yukawa_sparse
 from ..ops.yukawa import yukawa_field
 from ..solve import krylov, multigrid, projection
-from ..utils import diskcache, timing
+from ..utils import checks, diskcache, timing
 
 
 class GridResult:
@@ -554,6 +554,9 @@ class GridSolver:
             else:
                 Y = yukawa_field(queries, cached["points"], cached["vectors"], lam)
             Y.block_until_ready()
+            # sanitizer (--debug / SHM3D_DEBUG): unit rows except the
+            # coincident-node singularity the divergence guard zeroes
+            checks.check_unit_field("grid Step 2 field", Y)
 
         if options.fast_integration:
             if grid.n <= 32:
@@ -606,6 +609,16 @@ class GridSolver:
                 )
                 u.block_until_ready()
                 tm.note(f"{options.solver_method} iters={int(iters)} rel_res={float(resid):.2e}")
+                checks.check_finite("grid Step 3 solution", u)
+                if checks.enabled() and options.solver_method == "projected_cg":
+                    # null-space invariant: the pinned rows hold on the iterate
+                    checks.check_constraint(
+                        "grid Step 3 pinning", u,
+                        lambda v: projection.a_apply(
+                            v, cached["pin_nodes8"], cached["pin_coeffs8"]
+                        ),
+                        b_scale=float(jnp.linalg.norm(u)),
+                    )
 
             if options.refine_steps > 0 and dtype == jnp.float32:
                 with tm.phase("float64 defect correction"):
@@ -619,6 +632,7 @@ class GridSolver:
             phi = _mean_shift(phi, cached["src_nodes8"], cached["src_coeffs8"], cached["weights"])
             if hasattr(phi, "block_until_ready"):
                 phi.block_until_ready()  # the solve is done; only transfers remain
+        checks.check_finite("grid phi", phi)
 
         return GridResult(phi, grid, Y, u_dev=u_dev)
 

@@ -46,7 +46,7 @@ from ..geometry import surface as surf
 from ..io.mesh_io import Mesh, PointCloud
 from ..ops.yukawa import yukawa_field
 from ..solve import amg, krylov
-from ..utils import diskcache, timing
+from ..utils import checks, diskcache, timing
 from . import fem
 from .mesher import TetMesh, build_tet_domain
 
@@ -321,6 +321,7 @@ class SignedHeatTetSolver:
             else:
                 Y = yukawa_field(cached["barys"], cached["points"], cached["vectors"], lam)
             Y.block_until_ready()
+            checks.check_unit_field("tet Step 2 field", Y)
 
         n = mesh.n_vertices
         if options.fast_integration:
@@ -341,6 +342,7 @@ class SignedHeatTetSolver:
                 phi = self._integrate(Y, mesh, geom, cached, options, tm)
 
         phi_host = np.asarray(phi, dtype=np.float64)
+        checks.check_finite("tet phi", phi_host)
         return TetResult(phi_host, mesh, np.asarray(Y, np.float64))
 
     # -- internals
@@ -453,6 +455,13 @@ class SignedHeatTetSolver:
             cr_face_components = arrays["cr_face_components"]
             cr_face_areas = arrays["cr_face_areas"]
         H_scipy = (-dual.to_scipy()).tocsr()  # positive (semi)definite
+        if checks.enabled():
+            # sanitizer: the segment-sum assembly must stay symmetric
+            # (CG assumes it; an asymmetric dedup is silently wrong)
+            checks.check_symmetric(
+                "tet dual Laplacian", lambda x: H_scipy @ np.asarray(x),
+                H_scipy.shape[0],
+            )
         diagH = H_scipy.diagonal()
         diagH = np.where(diagH > 0, diagH, 1.0)
         labels = arrays["src_labels"]
