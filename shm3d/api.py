@@ -16,20 +16,25 @@ from .io.mesh_io import Mesh, PointCloud
 
 
 class SignedHeatSolver:
-    """domain: "tet" (default, like the reference) or "grid"."""
+    """domain: "tet" (default, like the reference) or "grid".
 
-    def __init__(self, domain: str = "tet"):
+    ``mesh``: optional 1-D ``jax.sharding.Mesh`` (``shm3d.parallel.device_mesh``)
+    to run multi-chip — Step 1 rotates source shards over ICI (ring schedule)
+    and grid Step 3 runs on z-slab-sharded fields with XLA-inserted halo
+    collectives.  One code path serves 1 and N devices."""
+
+    def __init__(self, domain: str = "tet", mesh=None):
         if domain not in ("tet", "grid"):
             raise ValueError(f"domain must be 'tet' or 'grid', got {domain!r}")
         self.domain = domain
         if domain == "grid":
             from .solvers.grid import GridSolver
 
-            self._impl = GridSolver()
+            self._impl = GridSolver(mesh=mesh)
         else:
             from .tet.solver import SignedHeatTetSolver
 
-            self._impl = SignedHeatTetSolver()
+            self._impl = SignedHeatTetSolver(mesh=mesh)
 
     def compute_distance(self, geom: Union[Mesh, PointCloud],
                          options: SignedHeatOptions = SignedHeatOptions()):

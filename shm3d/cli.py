@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="grid Step-1 strategy: dense pairwise kernel, the "
                         "shell decomposition (exact near surface + coarse-"
                         "interpolated far field), or auto (shell at >=128^3)")
+    p.add_argument("--devices", type=int, default=0, metavar="N",
+                   help="run multi-chip over the first N local devices "
+                        "(1-D jax.sharding.Mesh; Step 1 ring schedule + "
+                        "sharded Step 3; 0 = single device)")
     p.add_argument("--no-disk-cache", action="store_true",
                    help="disable the cross-process operator cache "
                         "($SHM3D_CACHE_DIR)")
@@ -103,7 +107,12 @@ def main(argv=None) -> int:
         disk_cache=not args.no_disk_cache,
         verbose=args.verbose,
     )
-    solver = SignedHeatSolver("grid" if args.grid else "tet")
+    mesh = None
+    if args.devices:
+        from .parallel import device_mesh
+
+        mesh = device_mesh(args.devices)
+    solver = SignedHeatSolver("grid" if args.grid else "tet", mesh=mesh)
 
     from .utils.timing import profiler_trace
 

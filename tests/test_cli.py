@@ -53,3 +53,29 @@ def test_vtk_exports(tmp_path):
     volume_io.write_vtk_tet(str(path2), verts, tets, np.array([0.0, 1, 2, 3]))
     t2 = path2.read_text()
     assert "UNSTRUCTURED_GRID" in t2 and "CELL_TYPES 1" in t2
+
+
+def test_cli_multidevice_grid(tmp_path):
+    """--devices N routes the solve through the sharded product path."""
+    asset = reference_asset("bunny_small.obj")
+    phi = tmp_path / "phi.npy"
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="",
+        XLA_FLAGS=(os.environ.get("XLA_FLAGS", "")
+                   + " --xla_force_host_platform_device_count=8").strip(),
+    )
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms','cpu');"
+         "from shm3d.cli import main; import sys;"
+         f"sys.exit(main(['--g', '--devices', '2', '--json',"
+         f" '--export-phi', {str(phi)!r}, {str(asset)!r}]))"],
+        capture_output=True, text=True, timeout=500, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    summary = json.loads(out.stdout.strip().splitlines()[-1])
+    assert summary["domain"] == "grid"
+    v = np.load(phi)
+    assert v.shape == (16 ** 3,)
+    assert np.isfinite(v).all()
