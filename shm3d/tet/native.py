@@ -22,9 +22,18 @@ def _lib():
     if _TRIED:
         return _LIB
     _TRIED = True
-    path = os.path.join(os.path.dirname(__file__), "..", "..", "native", "libshm3d_native.so")
-    path = os.path.abspath(path)
-    if not os.path.exists(path):
+    here = os.path.dirname(__file__)
+    candidates = [
+        os.environ.get("SHM3D_NATIVE_LIB", ""),
+        # installed wheel: shipped inside the package
+        os.path.join(here, "..", "_native", "libshm3d_native.so"),
+        # source checkout: built by `make -C native`
+        os.path.join(here, "..", "..", "native", "libshm3d_native.so"),
+    ]
+    path = next(
+        (os.path.abspath(p) for p in candidates if p and os.path.exists(p)), None
+    )
+    if path is None:
         return None
     lib = ctypes.CDLL(path)
     lib.shm3d_lattice_build.restype = ctypes.c_void_p
