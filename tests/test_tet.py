@@ -309,3 +309,33 @@ def test_tet_disk_cache_roundtrip(ico_mesh, tmp_path, monkeypatch):
     assert r2.mesh.conforming == r1.mesh.conforming
     r3 = SignedHeatTetSolver().compute_distance(ico_mesh, opts.with_(disk_cache=False))
     np.testing.assert_allclose(r3.phi, r1.phi, rtol=0, atol=1e-12)
+
+
+def test_native_loader_search_order(tmp_path, monkeypatch):
+    """The ctypes loader honors SHM3D_NATIVE_LIB, then the in-package
+    wheel location, then the source-tree build (shm3d/tet/native.py)."""
+    from shm3d.tet import native
+
+    import os
+    import shutil
+
+    saved = (native._LIB, native._TRIED)
+    src_build = os.path.abspath(os.path.join(
+        os.path.dirname(native.__file__), "..", "..", "native",
+        "libshm3d_native.so"))
+    if not os.path.exists(src_build):
+        pytest.skip("native library not built (make -C native)")
+    try:
+        # a nonexistent env override is skipped, falling through to the
+        # source-tree build
+        native._LIB, native._TRIED = None, False
+        monkeypatch.setenv("SHM3D_NATIVE_LIB", str(tmp_path / "missing.so"))
+        assert native.available()
+        # an explicit env override pointing at a real library wins
+        alt = tmp_path / "alt.so"
+        shutil.copy(src_build, alt)
+        native._LIB, native._TRIED = None, False
+        monkeypatch.setenv("SHM3D_NATIVE_LIB", str(alt))
+        assert native.available()
+    finally:
+        native._LIB, native._TRIED = saved
