@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--constraint", choices=["zero", "multiple", "none"], default="zero",
                    help="level-set constraint mode (tet domain; the grid domain "
                         "always soft-pins the zero set, like the reference)")
+    p.add_argument("--no-cr", dest="use_cr", action="store_false",
+                   help="tet domain: integrate on vertices (P1) instead of the "
+                        "default Crouzeix-Raviart face elements (reference GUI "
+                        "toggle, main.cpp:142-144)")
     p.add_argument("--dtype", choices=["float32", "float64"], default="float32")
     p.add_argument("--tol", type=float, default=None,
                    help="iterative solver tolerance (default: dtype-aware, "
@@ -88,6 +92,9 @@ _CONSTRAINTS = {
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    from .utils.jaxcache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.debug:
         from .utils import checks
 
@@ -99,6 +106,7 @@ def main(argv=None) -> int:
         t_coef=args.t_coef,
         h_coef=args.h_coef,
         scale=args.scale,
+        use_crouzeix_raviart=args.use_cr,
         fast_integration=args.fast,
         dtype=args.dtype,
         solver_tol=args.tol,

@@ -23,12 +23,25 @@ def _lib():
         return _LIB
     _TRIED = True
     here = os.path.dirname(__file__)
+    override = os.environ.get("SHM3D_NATIVE_LIB", "")
+    if override and not os.path.exists(override):
+        import warnings
+
+        warnings.warn(
+            f"SHM3D_NATIVE_LIB={override!r} does not exist; falling back to "
+            f"the default search order",
+            stacklevel=2,
+        )
+        override = ""
     candidates = [
-        os.environ.get("SHM3D_NATIVE_LIB", ""),
+        override,
+        # source checkout: built by `make -C native` (before the in-package
+        # wheel snapshot so rebuilds are never shadowed by a stale install;
+        # a wheel install has no native/ directory, so wheel behavior is
+        # unchanged)
+        os.path.join(here, "..", "..", "native", "libshm3d_native.so"),
         # installed wheel: shipped inside the package
         os.path.join(here, "..", "_native", "libshm3d_native.so"),
-        # source checkout: built by `make -C native`
-        os.path.join(here, "..", "..", "native", "libshm3d_native.so"),
     ]
     path = next(
         (os.path.abspath(p) for p in candidates if p and os.path.exists(p)), None
@@ -99,6 +112,12 @@ def conforming_build(src_points: np.ndarray, src_faces: np.ndarray,
     entries = ["shm3d_conforming_build"]
     if hasattr(lib, "shm3d_conforming_build_exact"):
         entries.append("shm3d_conforming_build_exact")
+        # the tolerance-ladder walk has never certified a real scan (it
+        # welds/snaps its own micro-geometry); skip its doomed attempt on
+        # scan-sized inputs (~12 s on knot@96) and go straight to the
+        # exact-predicate builder
+        if src_faces.shape[0] >= 5000:
+            entries = ["shm3d_conforming_build_exact"]
     mode = os.environ.get("SHM3D_EXACT_RECOVERY", "")
     if mode == "0":
         entries = ["shm3d_conforming_build"]

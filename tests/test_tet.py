@@ -312,12 +312,14 @@ def test_tet_disk_cache_roundtrip(ico_mesh, tmp_path, monkeypatch):
 
 
 def test_native_loader_search_order(tmp_path, monkeypatch):
-    """The ctypes loader honors SHM3D_NATIVE_LIB, then the in-package
-    wheel location, then the source-tree build (shm3d/tet/native.py)."""
+    """The ctypes loader honors SHM3D_NATIVE_LIB (warning when it points
+    nowhere), then the source-tree build, then the in-package wheel
+    location (shm3d/tet/native.py)."""
     from shm3d.tet import native
 
     import os
     import shutil
+    import warnings
 
     saved = (native._LIB, native._TRIED)
     src_build = os.path.abspath(os.path.join(
@@ -326,16 +328,28 @@ def test_native_loader_search_order(tmp_path, monkeypatch):
     if not os.path.exists(src_build):
         pytest.skip("native library not built (make -C native)")
     try:
-        # a nonexistent env override is skipped, falling through to the
+        # a nonexistent env override warns and falls through to the
         # source-tree build
         native._LIB, native._TRIED = None, False
         monkeypatch.setenv("SHM3D_NATIVE_LIB", str(tmp_path / "missing.so"))
-        assert native.available()
+        with warnings.catch_warnings(record=True) as caught:
+            warnings.simplefilter("always")
+            assert native.available()
+        assert any("SHM3D_NATIVE_LIB" in str(w.message) for w in caught)
+        assert native._LIB._name == src_build
         # an explicit env override pointing at a real library wins
         alt = tmp_path / "alt.so"
         shutil.copy(src_build, alt)
         native._LIB, native._TRIED = None, False
         monkeypatch.setenv("SHM3D_NATIVE_LIB", str(alt))
         assert native.available()
+        assert native._LIB._name == str(alt)
+        # source-tree build shadows the in-package wheel snapshot: simulate
+        # a package dir whose _native/ holds a copy, with the real source
+        # tree intact — the source build must win
+        monkeypatch.delenv("SHM3D_NATIVE_LIB", raising=False)
+        native._LIB, native._TRIED = None, False
+        assert native.available()
+        assert native._LIB._name == src_build
     finally:
         native._LIB, native._TRIED = saved
