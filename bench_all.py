@@ -49,13 +49,18 @@ def _solve_config(name, asset, domain, opts_kw, warm_runs=3):
     phi = res.phi  # block on the host transfer for honest cold timing
     cold_s = time.time() - t0
 
+    # Warm protocol (same convention as bench.py): the timed span blocks on
+    # device completion of phi; the device->host transfer is reported
+    # separately (phi_transfer_s).
     times = []
     for _ in range(warm_runs):
         t0 = time.time()
         res = solver.compute_distance(geom, opts)
-        res.phi
         times.append(time.time() - t0)
     warm_s = float(np.median(times))
+    t0 = time.time()
+    phi = res.phi
+    transfer_s = time.time() - t0
     assert np.isfinite(phi).all(), f"{name}: non-finite phi"
     n_dof = int(phi.shape[0])
     return {
@@ -66,8 +71,10 @@ def _solve_config(name, asset, domain, opts_kw, warm_runs=3):
             "asset": asset,
             "cold_s": round(cold_s, 2),
             "warm_runs_s": [round(t, 4) for t in times],
+            "phi_transfer_s": round(transfer_s, 4),
             "n_dof": n_dof,
             "phi_range": [round(float(phi.min()), 5), round(float(phi.max()), 5)],
+            "step3_path": solver.last_stats.get("step3_path"),
         },
     }
 
@@ -123,21 +130,23 @@ def main():
             "# BENCH_TABLE — full BASELINE config sweep",
             "",
             f"Backend: `{_backend()}` · protocol: 1 cold + median of 3 warm "
-            "(BASELINE.md).",
+            "(BASELINE.md).  Warm timings block on device completion of phi; "
+            "the device→host transfer is the separate +xfer column (the one "
+            "documented convention, shared with bench.py).",
             "",
-            "| Config | DOF | Cold (s) | Warm (s) |",
-            "|---|---|---|---|",
+            "| Config | DOF | Cold (s) | Warm (s) | +xfer (s) |",
+            "|---|---|---|---|---|",
         ]
         for r in rows:
             if "value" in r:
                 d = r["detail"]
                 lines.append(
                     f"| {r['metric']} | {d['n_dof']:,} | {d['cold_s']} | "
-                    f"**{r['value']}** |"
+                    f"**{r['value']}** | {d['phi_transfer_s']} |"
                 )
             else:
                 lines.append(f"| {r['metric']} | — | — | "
-                             f"{r.get('error', r.get('skipped'))} |")
+                             f"{r.get('error', r.get('skipped'))} | — |")
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_TABLE.md"), "w") as f:
             f.write("\n".join(lines) + "\n")

@@ -861,9 +861,10 @@ void build_lattice_graded(XMesh& mb, double cx, double cy, double cz,
                           double half_side, int resolution,
                           const double* src_xyz, int64_t V,
                           const int64_t* faces, int64_t F) {
-  // leaf blocks must tile the cube: round the resolution up to a multiple
-  // of the coarsest block (the heuristic resolution is approximate anyway)
-  int nl = ((resolution + 7) / 8) * 8;
+  // leaf blocks must tile the cube: round the resolution to the nearest
+  // multiple of the coarsest block (the heuristic resolution is
+  // approximate anyway; rounding up would double tiny meshes, 9 -> 16)
+  int nl = std::max(8, (resolution + 4) / 8 * 8);
   mb.nl = nl;
   mb.npts = nl + 1;
   mb.h = 2.0 * half_side / nl;

@@ -42,6 +42,14 @@ class SignedHeatSolver:
         vertex), matching the reference's ``computeDistance`` overloads."""
         return self._impl.compute_distance(geom, options)
 
+    @property
+    def last_stats(self) -> dict:
+        """Diagnostics from the most recent solve: which Step-3 path ran
+        (``step3_path`` — e.g. the >32^3 fast path switches from the
+        reference BFS to the device wavefront spanning tree), Krylov
+        iterations, residuals."""
+        return getattr(self._impl, "last_stats", {})
+
     def isosurface(self, result, isoval: float = 0.0) -> Tuple[np.ndarray, np.ndarray]:
         """Extract an isosurface mesh (V, F) from a solve result
         (reference: igl::marching_tets on the tet path, Polyscope marching

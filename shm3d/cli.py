@@ -52,9 +52,6 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=None,
                    help="iterative solver tolerance (default: dtype-aware, "
                         "1e-5 for float32 / 1e-10 for float64)")
-    p.add_argument("--cull-eps", type=float, default=0.0,
-                   help="relative cutoff for block-sparse Yukawa culling "
-                        "(0 = dense/exact, the reference's semantics)")
     p.add_argument("--step1", choices=["auto", "dense", "shell"], default="auto",
                    help="grid Step-1 strategy: dense pairwise kernel, the "
                         "shell decomposition (exact near surface + coarse-"
@@ -110,7 +107,6 @@ def main(argv=None) -> int:
         fast_integration=args.fast,
         dtype=args.dtype,
         solver_tol=args.tol,
-        cull_eps=args.cull_eps,
         step1_method=args.step1,
         disk_cache=not args.no_disk_cache,
         verbose=args.verbose,
@@ -158,6 +154,9 @@ def main(argv=None) -> int:
             "phi_min": float(phi.min()),
             "phi_max": float(phi.max()),
             "n_unknowns": int(phi.shape[0]),
+            # surfaces semantic switches, e.g. the >32^3 --f greedy path
+            # runs the device wavefront variant, not the reference BFS
+            "step3_path": solver.last_stats.get("step3_path"),
         }))
     return 0
 

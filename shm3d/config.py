@@ -2,8 +2,8 @@
 
 Mirrors the reference options struct ``SignedHeat3DOptions``
 (/root/reference/include/signed_heat_3d.h:20-28) plus TPU-specific knobs the
-reference does not have (dtype policy, iterative-solver controls, source-block
-culling).  One dataclass, CLI-overridable, no hidden GUI-only knobs
+reference does not have (dtype policy, iterative-solver controls, Step-1
+strategy).  One dataclass, CLI-overridable, no hidden GUI-only knobs
 (SURVEY.md §5.6).
 """
 
@@ -54,13 +54,6 @@ class SignedHeatOptions:
     # Compute dtype for the device path. float32 is the TPU-native choice;
     # float64 works on CPU (tests/oracle parity) and, slowly, on TPU.
     dtype: str = "float32"
-    # Relative cutoff for source-block culling in the Yukawa summation.
-    # The kernel exp(-lambda r)/r decays exponentially, so source blocks whose
-    # minimum distance to a query block exceeds the adaptive band contribute
-    # less than `cull_eps` relative to the retained terms. 0 disables culling
-    # (exact brute-force semantics, matching the reference's
-    # O(queries x sources) loops at /root/reference/src/signed_heat_grid_solver.cpp:48-65).
-    cull_eps: float = 0.0
     # Step-1 evaluation strategy on the grid domain:
     #   "dense" — exact pairwise kernel at every node (reference semantics,
     #             /root/reference/src/signed_heat_grid_solver.cpp:48-65).

@@ -42,7 +42,6 @@ from ..domains import grid as griddom
 from ..geometry import sources as src_mod
 from ..io.mesh_io import Mesh, PointCloud
 from ..ops import stencil
-from ..ops import yukawa_sparse
 from ..ops.yukawa import yukawa_field
 from ..solve import krylov, multigrid, projection
 from ..utils import checks, diskcache, timing
@@ -442,12 +441,14 @@ class GridSolver:
     def __init__(self, mesh=None):
         self._cache = {}
         self.mesh = mesh
+        self.last_stats = {}
 
     def compute_distance(self, geom, options: SignedHeatOptions = SignedHeatOptions()) -> GridResult:
         tm = timing.PhaseTimer(verbose=options.verbose)
         is_mesh = isinstance(geom, Mesh)
         dtype = jnp.dtype(options.dtype)
         tol = options.resolved_solver_tol()
+        self.last_stats = {}
 
         with tm.phase("precompute (sources + grid + constraints)"):
             key = (diskcache.geometry_content_hash(geom), options.cache_key())
@@ -485,15 +486,8 @@ class GridSolver:
 
                     queries = jax.device_put(queries, shards.node_sharding(self.mesh))
                 cached["queries"] = queries
-            use_sparse = (
-                not use_mesh
-                and options.cull_eps > 0
-                and grid.n % yukawa_sparse.BRICK == 0
-                and jax.default_backend() == "tpu"
-            )
             use_shell = (
                 not use_mesh
-                and not use_sparse
                 and (
                     options.step1_method == "shell"
                     or (options.step1_method == "auto" and grid.n >= options.shell_auto_n)
@@ -529,22 +523,6 @@ class GridSolver:
                 Y = farfield.yukawa_field_shell(
                     plan, cached["points"], cached["vectors"], lam, grid.n
                 )
-            elif use_sparse:
-                plan_key = ("cull_plan", lam, options.cull_eps)
-                plan = cached.get(plan_key)
-                if plan is None:
-                    plan = yukawa_sparse.build_plan(
-                        grid, np.asarray(cached["points"], np.float64), lam,
-                        options.cull_eps
-                    )
-                    cached[plan_key] = plan
-                tm.note(f"culling kept {plan.kept_fraction:.1%} of source blocks")
-                if not plan.fits_smem():
-                    n_seg = len(plan.segments()[0])
-                    tm.note(f"pair list split into {n_seg} SMEM-sized segments")
-                Y = yukawa_sparse.yukawa_field_sparse(
-                    queries, cached["points"], cached["vectors"], lam, plan
-                )
             elif use_mesh:
                 from ..parallel import yukawa_field_ring
 
@@ -562,6 +540,7 @@ class GridSolver:
             if grid.n <= 32:
                 # exact reference-BFS semantics (and oracle parity) where the
                 # host loop is affordable
+                self.last_stats["step3_path"] = "greedy-bfs"
                 with tm.phase("step 3 (greedy BFS integration, host)"):
                     from ..oracle.reference import integrate_greedily_grid
 
@@ -570,9 +549,16 @@ class GridSolver:
             else:
                 # device wavefront variant (SURVEY §7 hard part 4): same
                 # edge increments, level-synchronous spanning tree
+                self.last_stats["step3_path"] = "greedy-wavefront"
                 with tm.phase("step 3 (greedy wavefront integration, device)"):
                     from ..ops.wavefront import greedy_integrate_wavefront
 
+                    tm.note(
+                        "fast integration beyond 32^3 uses the device "
+                        "wavefront spanning tree: same edge increments as the "
+                        "reference BFS but a different (level-synchronous) "
+                        "visit order, so path-dependent values differ"
+                    )
                     phi = greedy_integrate_wavefront(
                         Y.astype(dtype), grid.cell_size, grid.shape
                     )
@@ -583,6 +569,7 @@ class GridSolver:
             # iterations — MG-PCG spends its iterations on f32 noise and
             # constraint coupling, not on the smooth error a coarse start
             # removes — while costing a full coarse-level solve.)
+            self.last_stats["step3_path"] = "projected-mg-pcg"
             with tm.phase("step 3 (divergence + projected MG-PCG solve)"):
                 if cached.get("pin_keep") is not None:
                     tm.note(
@@ -665,10 +652,15 @@ class GridSolver:
         u64 = np.asarray(u, dtype=np.float64)
         # restore A u = 0 exactly before measuring the defect
         u64 = projection.host_project(u64, A, gram_lu)
-        for _ in range(options.refine_steps):
+
+        def _defect(u64):
             Hu = -_laplacian_apply_np(u64.reshape(shape), grid.cell_size).reshape(-1)
             r = projection.host_project(b64 - Hu, A, gram_lu)
-            rel = np.linalg.norm(r) / max(bnorm, np.finfo(np.float64).tiny)
+            return r, np.linalg.norm(r) / max(bnorm, np.finfo(np.float64).tiny)
+
+        rel = None
+        for _ in range(options.refine_steps):
+            r, rel = _defect(u64)
             if not np.isfinite(rel) or rel <= options.refine_target:
                 if tm is not None:
                     tm.note(f"refine skipped/stopped at rel_res={rel:.2e}")
@@ -678,6 +670,13 @@ class GridSolver:
             dx = self._correction_solve(r / scale, cached, grid, options)
             u64 = u64 + scale * np.asarray(dx, dtype=np.float64)
             u64 = projection.host_project(u64, A, gram_lu)
+        else:
+            if rel is not None:  # steps exhausted: measure the achieved defect
+                _, rel = _defect(u64)
+        if rel is not None:
+            # exact f64 relative residual of the projected system after the
+            # last correction — the accuracy certificate bench.py reports
+            self.last_stats["refine_rel_res"] = float(rel)
         return jnp.asarray(u64, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
 
     def _correction_solve(self, rhs_np, cached, grid, options):

@@ -167,20 +167,45 @@ class TetMesh:
         assert (sgn[interior] == 0).all(), "interior face with same-side tets"
 
 
+#: bumped whenever the default meshing behavior changes (lattice heuristics,
+#: grading, recovery): part of the disk-cache key, so stale artifacts from an
+#: older mesher can never shadow the current default discretization.
+MESHER_VERSION = 2
+
+#: fine-band cells/axis cap for the graded (octree) lattice.  The graded
+#: builder's tet count scales with surface area (~res^2), not volume
+#: (~res^3), so its cap sits above the uniform one; measured: knot@96 ->
+#: 1.5M tets / 108 s recovery, rocker@96 -> 1.0M / 143 s.
+_GRADED_CAP = 128
+
+#: target fine-cell size as a multiple of the source's median edge length.
+#: Exact recovery is fastest and most reliable when lattice cells are
+#: comparable to the surface triangles (measured minima: bunny certifies
+#: down to ratio 2.7 but is 2x faster at 1.7; chair fails at 2.9, passes
+#: at 2.1; rocker fails at 2.1, passes at 1.75; knot passes at 1.49).
+_SURFACE_CELL_RATIO = 1.6
+
+
+def _heuristic_cells(half_side: float, mean_area: float, h_coef: float) -> int:
+    """Uncapped cells-per-axis.  The reference drives refinement with
+    TetGen's max-tet-volume = 2^-hCoef * meanFaceArea
+    (signed_heat_tet_solver.cpp:16-23); a Kuhn tet has volume cell^3/6, so
+    cell ~ (6 * maxvol)^(1/3)."""
+    maxvol = (2.0 ** -h_coef) * mean_area
+    cell = (6.0 * maxvol) ** (1.0 / 3.0)
+    return int(np.ceil(2.0 * half_side / cell))
+
+
 def _lattice_resolution(
     half_side: float, mean_area: float, h_coef: float, cap: int = 96
 ) -> int:
-    """Cells per axis.  The reference drives refinement with TetGen's
-    max-tet-volume = 2^-hCoef * meanFaceArea (signed_heat_tet_solver.cpp:16-23);
-    a Kuhn tet has volume cell^3/6, so cell ~ (6 * maxvol)^(1/3).
+    """Capped cells per axis for the uniform lattice.
 
     ``cap`` bounds the uniform lattice (resolution beyond it produces
     multi-million-tet meshes); a warning is emitted when the cap truncates
     the requested refinement so hCoef saturation is visible (the reference
     honors TetGen maxvol unboundedly)."""
-    maxvol = (2.0 ** -h_coef) * mean_area
-    cell = (6.0 * maxvol) ** (1.0 / 3.0)
-    n = int(np.ceil(2.0 * half_side / cell))
+    n = _heuristic_cells(half_side, mean_area, h_coef)
     if n > cap:
         warnings.warn(
             f"tet lattice resolution {n} exceeds the cap {cap}; hCoef-driven "
@@ -188,6 +213,51 @@ def _lattice_resolution(
             stacklevel=2,
         )
     return int(np.clip(n, 8, cap))
+
+
+def _median_edge_length(src_points: np.ndarray, src_faces: np.ndarray) -> float:
+    p = src_points
+    f = src_faces
+    e = np.concatenate([
+        np.linalg.norm(p[f[:, 0]] - p[f[:, 1]], axis=1),
+        np.linalg.norm(p[f[:, 1]] - p[f[:, 2]], axis=1),
+        np.linalg.norm(p[f[:, 2]] - p[f[:, 0]], axis=1),
+    ])
+    e = e[e > 0]
+    return float(np.median(e)) if e.size else 0.0
+
+
+def _graded_resolution(half_side: float, mean_area: float, h_coef: float,
+                       src_points: np.ndarray, src_faces: np.ndarray,
+                       cap: int = _GRADED_CAP) -> int:
+    """Fine-band cells per axis for the graded conforming build.
+
+    Two lower bounds, take the max, then cap:
+    - the reference's maxvol heuristic (hCoef semantics: +1 halves maxvol,
+      refining the band by 2^(1/3); the far field grades coarser either
+      way — a documented deviation from TetGen's globally-uniform maxvol,
+      which at these domain sizes implies tens of millions of tets);
+    - the surface-resolving floor cell <= ratio * median source edge:
+      coarser lattices under-resolve the features and Steiner recovery
+      blows up or leaves certificate holes (it is also SLOWER: bunny@16
+      fails at 100 s where bunny@40 certifies in 13 s)."""
+    n_vol = _heuristic_cells(half_side, mean_area, h_coef)
+    med = _median_edge_length(src_points, src_faces)
+    n_surf = (int(np.ceil(2.0 * half_side / (_SURFACE_CELL_RATIO * med)))
+              if med > 0 else 8)
+    n = max(n_vol, n_surf)
+    if n > cap:
+        warnings.warn(
+            f"graded tet resolution {n} exceeds the cap {cap}; refinement "
+            f"saturates (pass resolution=/lattice_cap= to raise it)",
+            stacklevel=2,
+        )
+    # the graded builder tiles leaf blocks of up to 8 cells: round to the
+    # NEAREST multiple of 8 (round-up doubles tiny fixture meshes, 9 -> 16,
+    # which blows up CI solve times; all reference scans certify at their
+    # nearest-rounded resolution)
+    n = int(np.clip(n, 8, cap))
+    return max(8, ((n + 4) // 8) * 8)
 
 
 class ConformingError(RuntimeError):
@@ -688,13 +758,26 @@ def build_tet_domain(
     if radius <= 0.0:
         radius = 1.0  # degenerate input (single point / coincident points)
     s = radius * scale
+
+    from . import native as native_mod
+
+    # the graded (octree) lattice is the default for conforming builds when
+    # the native exact builder is present; SHM3D_GRADED=0 restores the
+    # uniform lattice
+    graded = (src_faces is not None and native_mod.conforming_available()
+              and os.environ.get("SHM3D_GRADED", "") != "0")
     if resolution is None:
         if mean_area is None:
             mean_area = (2.0 * s / 16.0) ** 2
-        resolution = _lattice_resolution(s, mean_area, h_coef, cap=lattice_cap)
+        if graded:
+            resolution = _graded_resolution(
+                s, mean_area, h_coef, src_points,
+                np.asarray(src_faces, np.int64),
+                cap=max(lattice_cap, _GRADED_CAP))
+        else:
+            resolution = _lattice_resolution(s, mean_area, h_coef,
+                                             cap=lattice_cap)
     nl = int(resolution)
-
-    from . import native as native_mod
 
     if src_faces is None and native_mod.available():
         out = native_mod.lattice_build(src_points, c, s, nl)
@@ -705,18 +788,21 @@ def build_tet_domain(
     if src_faces is not None and native_mod.conforming_available():
         # Recoverability is resolution-dependent: a lattice that
         # under-resolves the surface features makes Steiner recovery blow up
-        # or leave certificate holes, while 1.5-2x finer succeeds (measured:
-        # chair fails at its heuristic res 48 but certifies at 72 with 168k
-        # sub-faces; knot fails at 32/48 but certifies at its capped default
-        # 96 with 504k).  On certificate failure retry at higher resolutions
-        # up to the cap; the fallback mesh stays at the HEURISTIC resolution
-        # (the reference's fallback semantics, signed_heat_tet_solver.cpp:24-33).
+        # or leave certificate holes, while finer lattices certify faster
+        # (measured: bunny fails at 16, certifies at 24 in 26 s and at 40 in
+        # 13 s; rocker fails at 80, certifies at 96).  The surface-aware
+        # heuristic usually lands first try; on certificate failure retry
+        # ~25% finer, then at the cap.  The fallback mesh stays at the
+        # HEURISTIC resolution (the reference's fallback semantics,
+        # signed_heat_tet_solver.cpp:24-33).
         n_retries = int(os.environ.get("SHM3D_RECOVERY_RETRIES", "2"))
+        cap = max(lattice_cap, _GRADED_CAP) if graded else lattice_cap
+        bump = int(np.ceil(nl * 1.25 / 8.0)) * 8 if graded else int(np.ceil(nl * 1.5))
         attempts = [nl]
-        if n_retries >= 1 and int(np.ceil(nl * 1.5)) < lattice_cap:
-            attempts.append(int(np.ceil(nl * 1.5)))
-        if n_retries >= 1 and lattice_cap > nl:
-            attempts.append(lattice_cap)
+        if n_retries >= 1 and bump < cap:
+            attempts.append(bump)
+        if n_retries >= 1 and cap > nl:
+            attempts.append(cap)
         attempts = sorted(set(attempts))[: 1 + max(0, n_retries)]
         base_out = None
         for nl_i in attempts:

@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -275,9 +276,14 @@ class SignedHeatTetSolver:
         tm = timing.PhaseTimer(verbose=options.verbose)
         dtype = jnp.dtype(options.dtype)
         is_mesh = isinstance(geom, Mesh)
+        self.last_stats = {}
 
         with tm.phase("tet precompute (mesh + operators)"):
-            key = (diskcache.geometry_content_hash(geom), options.cache_key())
+            from .mesher import MESHER_VERSION
+
+            key = (diskcache.geometry_content_hash(geom), options.cache_key(),
+                   MESHER_VERSION,
+                   os.environ.get("SHM3D_GRADED", ""))
             cached = self._cache.get(key)
             if cached is None:
                 arrays = diskcache.load(("tet",) + key) if options.disk_cache else None
@@ -294,29 +300,12 @@ class SignedHeatTetSolver:
         lam = float(np.sqrt(1.0 / (options.t_coef * cached["spacing"] ** 2)))
 
         with tm.phase("steps 1&2 (Yukawa at tet barycenters)"):
-            use_sparse = (options.cull_eps > 0 and self.mesh is None
-                          and jax.default_backend() == "tpu")
             if self.mesh is not None:
                 from ..parallel import yukawa_field_ring
 
                 Y = yukawa_field_ring(
                     cached["barys"], cached["points"], cached["vectors"], lam,
                     self.mesh,
-                )
-            elif use_sparse:
-                from ..ops import yukawa_sparse
-
-                plan_key = ("cull_plan", lam, options.cull_eps)
-                plan = cached.get(plan_key)
-                if plan is None:
-                    plan = yukawa_sparse.build_plan_points(
-                        mesh.barycenters(), np.asarray(cached["points"], np.float64),
-                        lam, options.cull_eps,
-                    )
-                    cached[plan_key] = plan
-                tm.note(f"culling kept {plan.kept_fraction:.1%} of source blocks")
-                Y = yukawa_sparse.yukawa_field_sparse(
-                    cached["barys"], cached["points"], cached["vectors"], lam, plan
                 )
             else:
                 Y = yukawa_field(cached["barys"], cached["points"], cached["vectors"], lam)
@@ -325,9 +314,11 @@ class SignedHeatTetSolver:
 
         n = mesh.n_vertices
         if options.fast_integration:
+            self.last_stats["step3_path"] = "greedy"
             with tm.phase("step 3 (greedy BFS, host)"):
                 phi = self._greedy(mesh, np.asarray(Y, np.float64), geom, cached, options)
         elif options.use_crouzeix_raviart and cached.get("cr_path") is not None:
+            self.last_stats["step3_path"] = "crouzeix-raviart"
             # reference default for conforming triangle meshes
             # (integrateVectorFieldToFaces; gate at src/main.cpp:142-144);
             # active whenever surface recovery succeeded (mesh.conforming)
@@ -338,6 +329,7 @@ class SignedHeatTetSolver:
                     src_face_areas=cached.get("cr_face_areas"),
                 )
         else:
+            self.last_stats["step3_path"] = "vertex"
             with tm.phase("step 3 (divergence + constrained solve)"):
                 phi = self._integrate(Y, mesh, geom, cached, options, tm)
 
@@ -538,7 +530,7 @@ class SignedHeatTetSolver:
             phi, iters, res = _run_chunked(fn, jnp.zeros(n, div.dtype), tol, maxiter)
             phi = self._shift(phi, mesh, cached)
         tm.note(f"krylov iters={int(iters)} rel_res={float(res):.2e}")
-        self.last_stats = {"iters": int(iters), "residual": float(res)}
+        self.last_stats.update(iters=int(iters), residual=float(res))
         return phi
 
     def _shift(self, phi, mesh, cached):

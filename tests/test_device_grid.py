@@ -308,71 +308,6 @@ def test_projected_cg_matches_kkt_minres(icosphere):
     assert rel < 1e-7, f"rel L2 between methods {rel}"
 
 
-def test_sparse_yukawa_in_solver_matches_dense(icosphere):
-    """cull_eps > 0 with the block-sparse plan must match the dense solve
-    (interpret-mode kernel on CPU; plan validated separately)."""
-    from shm3d.domains import grid as gd
-    from shm3d.geometry import sources as src_mod
-    from shm3d.ops import yukawa_sparse as ys
-
-    src = src_mod.from_mesh(icosphere)
-    g = gd.build_grid(icosphere.vertices, 2.0, 0.0)
-    lam = float(np.sqrt(1.0 / src.spacing ** 2))
-    q = jnp.asarray(g.node_positions())
-    dense = yukawa_field_xla(q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam)
-    plan = ys.build_plan(g, src.points, lam, 1e-8, s_block=64)
-    got = ys.yukawa_field_sparse(
-        q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam, plan, interpret=True
-    )
-    assert float(jnp.max(jnp.linalg.norm(got - dense, axis=1))) < 1e-10
-
-
-def test_sparse_yukawa_segmented_matches_single_call(icosphere):
-    """Pair lists over the SMEM cap split into fixed-geometry segment calls
-    (the round-1 SMEM overflow fix); results must be identical to the
-    single-call path."""
-    from shm3d.domains import grid as gd
-    from shm3d.geometry import sources as src_mod
-    from shm3d.ops import yukawa_sparse as ys
-
-    src = src_mod.from_mesh(icosphere)
-    g = gd.build_grid(icosphere.vertices, 2.0, 0.0)
-    lam = float(np.sqrt(1.0 / src.spacing ** 2))
-    q = jnp.asarray(g.node_positions())
-    plan = ys.build_plan(g, src.points, lam, 1e-8, s_block=64)
-    single = ys.yukawa_field_sparse(
-        q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam, plan, interpret=True
-    )
-    assert not plan.fits_smem(7)
-    segs, nb_cap = plan.segments(7)
-    assert len(segs) > 1 and all(len(s["brick"]) == 7 for s in segs)
-    segmented = ys.yukawa_field_sparse(
-        q, jnp.asarray(src.points), jnp.asarray(src.vectors()), lam, plan,
-        interpret=True, pair_cap=7,
-    )
-    np.testing.assert_allclose(np.asarray(segmented), np.asarray(single), rtol=0, atol=0)
-
-
-def test_sparse_yukawa_point_queries_matches_dense(icosphere):
-    """Generic (Morton-bricked) culling plan on scattered queries."""
-    from shm3d.geometry import sources as src_mod
-    from shm3d.ops import yukawa_sparse as ys
-
-    src = src_mod.from_mesh(icosphere)
-    rng = np.random.default_rng(21)
-    q = rng.uniform(-2, 2, size=(1700, 3))  # non-multiple of 512: pad path
-    lam = 9.0
-    dense = yukawa_field_xla(
-        jnp.asarray(q), jnp.asarray(src.points), jnp.asarray(src.vectors()), lam)
-    plan = ys.build_plan_points(q, src.points, lam, 1e-9, s_block=64)
-    got = ys.yukawa_field_sparse(
-        jnp.asarray(q), jnp.asarray(src.points), jnp.asarray(src.vectors()), lam,
-        plan, interpret=True)
-    assert got.shape == (1700, 3)
-    err = float(jnp.max(jnp.linalg.norm(got - dense, axis=1)))
-    assert err < 1e-8, err
-
-
 def test_host_projection_tier_matches_oracle(icosphere, monkeypatch):
     """m > ORTHO_GRAM_CAP runs the Python-level PCG with exact f64 host
     projection (solvers/grid.py:_solve_pinned_hostproj).  Force the tier by
