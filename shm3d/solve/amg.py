@@ -54,13 +54,21 @@ class AMGHierarchy(NamedTuple):
 
 
 def _aggregate(A, theta: float) -> np.ndarray:
-    """Greedy strength-based aggregation; returns (n,) aggregate ids, with
+    """Strength-based aggregation; returns (n,) aggregate ids, with
     -1 marking DROPPED nodes: rows with no strong couplings (e.g. the
     identity rows of a Dirichlet-masked operator) get no coarse
     representation at all — the smoother already solves them pointwise,
     and carrying them as persistent singleton aggregates stalls coarsening
     (measured: 17.6k masked source rows pinned the coarsest level at 17.6k
-    and sent the dense coarse solve into an O(n^3) pinv)."""
+    and sent the dense coarse solve into an O(n^3) pinv).
+
+    Fully vectorized (the r1 greedy row loop cost ~15 min of the knot CR
+    solve's cold path at n=4.5M on this VM): parallel MIS-style rounds —
+    a free node whose random priority beats every free strong neighbor
+    seeds an aggregate and captures its free neighbors; a few rounds cover
+    the graph, then leftovers attach to any adjacent aggregate.  Same
+    family as the r1 greedy (seed + one-ring aggregates), different (still
+    valid) tie-breaking."""
     import scipy.sparse as sp
 
     n = A.shape[0]
@@ -71,35 +79,71 @@ def _aggregate(A, theta: float) -> np.ndarray:
         (C.row != C.col)
         & (np.abs(C.data) >= theta * np.sqrt(d[C.row] * d[C.col]))
     )
-    S = sp.csr_matrix(
-        (np.ones(strong_mask.sum()), (C.row[strong_mask], C.col[strong_mask])),
-        shape=(n, n),
-    )
+    rows = C.row[strong_mask]
+    cols = C.col[strong_mask]
+    # symmetric strength graph in CSR form (pattern only)
+    S = sp.csr_matrix((np.ones(rows.shape[0], np.int8), (rows, cols)), shape=(n, n))
+    indptr, indices = S.indptr, S.indices
+    deg = np.diff(indptr)
+    isolated = deg == 0
+
+    rng = np.random.default_rng(0)
+    pri = rng.permutation(n).astype(np.int64)  # unique priorities
     agg = np.full(n, -1, dtype=np.int64)
     next_id = 0
-    indptr, indices = S.indptr, S.indices
-    isolated = np.diff(indptr) == 0
-    # pass 1: a node all of whose strong neighbors are free seeds an aggregate
-    for i in range(n):
-        if agg[i] >= 0 or isolated[i]:
-            continue
-        nbrs = indices[indptr[i]:indptr[i + 1]]
-        if (agg[nbrs] >= 0).any():
-            continue
-        agg[i] = next_id
-        agg[nbrs] = next_id
-        next_id += 1
-    # pass 2: attach leftovers to a neighboring aggregate (or seed their own)
-    for i in range(n):
-        if agg[i] >= 0 or isolated[i]:
-            continue
-        nbrs = indices[indptr[i]:indptr[i + 1]]
-        hit = nbrs[agg[nbrs] >= 0]
-        if hit.size:
-            agg[i] = agg[hit[0]]
-        else:
-            agg[i] = next_id
-            next_id += 1
+    MAX = np.iinfo(np.int64).max
+    if indices.size == 0:
+        return agg  # no strong couplings anywhere
+    # CSR rows are contiguous, so per-row reduction is a reduceat over
+    # indptr (np.minimum.at is ~10x slower on this VM's numpy)
+    red_idx = np.minimum(indptr[:-1], indices.size - 1)
+
+    def row_min(values_per_edge):
+        """Per-row min over the strong neighbors (MAX for empty rows)."""
+        out = np.minimum.reduceat(values_per_edge, red_idx)
+        return np.where(isolated, MAX, out)
+
+    for _ in range(4):  # MIS rounds; each covers a constant fraction
+        free = (agg < 0) & ~isolated
+        if not free.any():
+            break
+        # neighbor priorities: assigned/isolated neighbors -> +inf (they
+        # don't block seeding); free ones compete
+        nbr_pri = np.where(free[indices], pri[indices], MAX)
+        blocked = row_min(np.where(agg[indices] >= 0, np.int64(0), MAX))
+        min_free_nbr = row_min(nbr_pri)
+        seeds = free & (pri < min_free_nbr) & (blocked > 0)
+        ns = int(seeds.sum())
+        if ns == 0:
+            break
+        agg[seeds] = next_id + np.arange(ns)
+        seed_of_pri = np.full(n, -1, dtype=np.int64)
+        seed_of_pri[pri[seeds]] = agg[seeds]
+        next_id += ns
+        # capture: each still-free node with a seed neighbor joins the
+        # min-priority seed among its neighbors
+        is_seed_nbr = seeds[indices]
+        cand = np.where(is_seed_nbr, pri[indices], MAX)
+        best = row_min(cand)
+        grab = (agg < 0) & ~isolated & (best < MAX)
+        agg[grab] = seed_of_pri[best[grab]]
+
+    # attach leftovers to any adjacent aggregate (vectorized pass 2);
+    # iterate so chains of leftovers drain into the aggregates
+    for _ in range(3):
+        free = (agg < 0) & ~isolated
+        if not free.any():
+            break
+        nbr_agg = np.where(agg[indices] >= 0, agg[indices], MAX)
+        best = row_min(nbr_agg)
+        hit = free & (best < MAX)
+        agg[hit] = best[hit]
+    # anything still free (a free clique with no assigned contact) seeds
+    # its own aggregates one-per-node
+    free = (agg < 0) & ~isolated
+    nf = int(free.sum())
+    if nf:
+        agg[free] = next_id + np.arange(nf)
     return agg
 
 
@@ -120,9 +164,13 @@ def _rho_dinv_a(A, d, iters: int = 12) -> float:
 
 
 def _coo_sorted(M, by_col: bool = False):
-    C = M.tocoo()
-    order = np.lexsort((C.row, C.col)) if by_col else np.lexsort((C.col, C.row))
-    return C.row[order], C.col[order], C.data[order]
+    """COO triplets in row-major (or column-major) order.  CSR->COO emits
+    row-major and CSC->COO column-major already, so no O(nnz log nnz)
+    lexsort is needed (the r1 lexsorts cost minutes at 31M nnz on this VM)."""
+    X = M.tocsc() if by_col else M.tocsr()
+    X.sort_indices()
+    C = X.tocoo()
+    return C.row, C.col, C.data
 
 
 def build_hierarchy(
