@@ -34,6 +34,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import os
+import time
 from typing import Optional
 
 import jax
@@ -90,7 +91,16 @@ def _divergence(Y, div_rows, div_tets, div_gvec, n):
 # unbounded while_loop at production sizes runs for minutes inside one XLA
 # program, which the TPU runtime's watchdog kills ("TPU worker process
 # crashed or restarted"); chunking bounds per-program runtime.
-CHUNK_ITERS = 400
+#
+# Chunk sizes are ADAPTIVE on TPU: per-iteration cost spans orders of
+# magnitude across problem sizes (a fixed 400-iteration chunk passed the
+# watchdog on 50k-face systems and was killed on knot's 4M-face CR solve),
+# so _run_chunked starts small, measures wall-clock per iteration, and grows
+# the chunk toward a ~20 s per-program target.  Sizes come from a fixed
+# bucket ladder so at most len(_CHUNK_BUCKETS) distinct programs compile.
+_CHUNK_BUCKETS = (25, 50, 100, 200, 400)
+CHUNK_ITERS = _CHUNK_BUCKETS[-1]
+_CHUNK_TARGET_S = 20.0
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -182,19 +192,32 @@ def _run_chunked(chunk_fn, x0, tol: float, maxiter: int, chunk: Optional[int] = 
     """Host loop: run bounded Krylov chunks until converged or maxiter.
     chunk_fn(x0, chunk) -> (x, iters, residual); residual is the solver's
     preconditioned-norm estimate, already compared against tol internally.
-    Chunked only on TPU (watchdog); elsewhere one unbounded chunk."""
+
+    On TPU the chunk size adapts: start at the smallest bucket, measure
+    wall-clock (the int(iters) read blocks on the program), and step to the
+    largest bucket whose projected runtime stays under _CHUNK_TARGET_S.
+    The first execution of a bucket includes its compile time, which only
+    makes the estimate conservative.  Elsewhere: one unbounded chunk."""
+    adaptive = chunk is None and jax.default_backend() == "tpu"
     if chunk is None:
-        chunk = CHUNK_ITERS if jax.default_backend() == "tpu" else maxiter
+        chunk = _CHUNK_BUCKETS[0] if adaptive else maxiter
     total = 0
     x = x0
     while True:
         this = min(chunk, maxiter - total)
         if this <= 0:
             break
+        t0 = time.perf_counter()
         x, iters, resid = chunk_fn(x, this)
-        total += int(iters)
-        if int(iters) < this:  # converged (or broke down) inside the chunk
+        done = int(iters)
+        dt = time.perf_counter() - t0
+        total += done
+        if done < this:  # converged (or broke down) inside the chunk
             break
+        if adaptive and done:
+            per_iter = dt / done
+            fits = [b for b in _CHUNK_BUCKETS if b * per_iter <= _CHUNK_TARGET_S]
+            chunk = fits[-1] if fits else _CHUNK_BUCKETS[0]
     return x, total, resid
 
 
