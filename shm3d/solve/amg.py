@@ -8,7 +8,9 @@ reference uses direct sparse Cholesky/LU.  Jacobi-PCG alone needs thousands
 of iterations on these (measured: 1,896 on a 16.6k-face CR system).  This
 module builds a classical smoothed-aggregation hierarchy ON HOST (SciPy,
 f64, an operator-cache artifact) and applies symmetric V-cycles ON DEVICE as
-fixed-depth chains of sorted-COO segment-sum matvecs — everything jittable,
+fixed-depth chains of fixed-width gather (ELL) matvecs (solve/ell.py — TPU
+scatter-adds run at ~60M elem/s and put knot's CR solve into the worker
+watchdog; gathers halve that and drop the row arrays) — everything jittable,
 f32-safe (the hierarchy is only a preconditioner; CG outside it controls
 accuracy).
 
@@ -30,21 +32,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from . import ell
+
 
 class AMGLevel(NamedTuple):
-    # operator A_l, COO sorted by row
-    a_rows: jnp.ndarray
-    a_cols: jnp.ndarray
-    a_vals: jnp.ndarray
+    A: ell.EllMat               # operator A_l (n_l x n_l)
     inv_diag: jnp.ndarray       # 1 / diag(A_l)
-    # prolongation P_l (n_l x n_c), COO sorted by row (for P @ xc)
-    p_rows: jnp.ndarray
-    p_cols: jnp.ndarray
-    p_vals: jnp.ndarray
-    # the same P sorted by column (for P^T @ x)
-    pt_rows: jnp.ndarray        # = row indices, sorted by col
-    pt_cols: jnp.ndarray        # = col indices (sorted)
-    pt_vals: jnp.ndarray
+    P: ell.EllMat               # prolongation (n_l x n_c)
+    PT: ell.EllMat              # restriction P^T (n_c x n_l)
 
 
 class AMGHierarchy(NamedTuple):
@@ -163,25 +158,90 @@ def _rho_dinv_a(A, d, iters: int = 12) -> float:
     return float(rho)
 
 
-def _coo_sorted(M, by_col: bool = False):
-    """COO triplets in row-major (or column-major) order.  CSR->COO emits
-    row-major and CSC->COO column-major already, so no O(nnz log nnz)
-    lexsort is needed (the r1 lexsorts cost minutes at 31M nnz on this VM)."""
-    X = M.tocsc() if by_col else M.tocsr()
-    X.sort_indices()
-    C = X.tocoo()
-    return C.row, C.col, C.data
+def _truncate_prolongator(P, k: int):
+    """Keep the k largest-|.| entries per row of CSR ``P``, rescaling the
+    kept entries so row sums are preserved (P interpolates the constant
+    near-null vector exactly: T row sums are 1 and smoothing preserves them
+    because A annihilates constants).  Bounds the ELL width of P and, more
+    importantly, the fill of the Galerkin coarse operators — the V-cycle's
+    per-iteration gather cost on TPU is proportional to those widths
+    (unbounded SA: 47.4M gathered elems/iter at 265k faces, 4x the level-0
+    matvec's)."""
+    import scipy.sparse as sp
+
+    counts = np.diff(P.indptr)
+    if counts.size == 0 or counts.max() <= k:
+        return P
+    n = P.shape[0]
+    w = int(counts.max())
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), counts)
+    pos = np.arange(P.indices.size, dtype=np.int64) - np.repeat(P.indptr[:-1], counts)
+    vals_p = np.zeros((n, w))
+    cols_p = np.zeros((n, w), np.int64)
+    vals_p[rows_all, pos] = P.data
+    cols_p[rows_all, pos] = P.indices
+    top = np.argpartition(-np.abs(vals_p), k - 1, axis=1)[:, :k]
+    kv = np.take_along_axis(vals_p, top, axis=1)
+    kc = np.take_along_axis(cols_p, top, axis=1)
+    orig_sum = vals_p.sum(axis=1)
+    kept_sum = kv.sum(axis=1)
+    scale = np.where(np.abs(kept_sum) > 0.1 * np.abs(orig_sum) + 1e-300,
+                     orig_sum / np.where(kept_sum == 0, 1.0, kept_sum), 1.0)
+    kv = kv * scale[:, None]
+    keep = kv != 0.0
+    r = np.repeat(np.arange(n, dtype=np.int64), k)
+    out = sp.csr_matrix((kv.ravel()[keep.ravel()],
+                         (r[keep.ravel()], kc.ravel()[keep.ravel()])),
+                        shape=P.shape)
+    out.sum_duplicates()
+    return out
+
+
+def _filter_operator(A, drop_tol: float):
+    """Drop off-diagonal entries |a_ij| < drop_tol sqrt(a_ii a_jj), adding
+    |a_ij| to the row's diagonal.  Removing the symmetric pair (i,j),(j,i)
+    of value v and adding |v| to both diagonals perturbs A by
+    |v| (e_i -+ e_j)(e_i -+ e_j)^T >= 0, so the filtered operator stays SPD
+    — compensating with the SIGNED value instead preserves row sums but
+    SUBTRACTS that PSD term for the Laplacian's negative off-diagonals and
+    made coarse levels indefinite (measured eig -1.7e-4: CG stalled at 1e-2
+    on the NONE-mode CR solve).  Keeps the coarse-level ELL widths bounded;
+    the result only serves as a preconditioner level, CG outside the V-cycle
+    controls accuracy."""
+    import scipy.sparse as sp
+
+    if drop_tol <= 0.0:
+        return A
+    C = A.tocoo()
+    d = np.abs(A.diagonal())
+    d = np.where(d > 0, d, 1.0)
+    is_diag = C.row == C.col
+    keep = is_diag | (np.abs(C.data) >= drop_tol * np.sqrt(d[C.row] * d[C.col]))
+    dropped = ~keep
+    comp = np.bincount(C.row[dropped], weights=np.abs(C.data[dropped]),
+                       minlength=A.shape[0])
+    out = sp.csr_matrix((C.data[keep], (C.row[keep], C.col[keep])), shape=A.shape)
+    out = (out + sp.diags(comp)).tocsr()
+    out.sum_duplicates()
+    return out
 
 
 def build_hierarchy(
     H, dtype, theta: float = 0.08, max_coarse: int = 192, max_levels: int = 12,
+    p_keep: int = 4, drop_tol: float = 0.02,
 ) -> AMGHierarchy:
     """Host-side SA-AMG setup for SPD (or semi-definite) sparse ``H``.
 
-    Returns device-ready arrays; an operator-cache artifact (built once per
-    discretization, reused across solves)."""
+    Prolongators are truncated to ``p_keep`` entries/row and coarse Galerkin
+    operators filtered at ``drop_tol`` (both row-sum preserving) so every
+    level stays narrow in ELL form — on TPU the V-cycle's cost is gathered
+    elements, not flops.  Returns device-resident ELL arrays, shipped with
+    ONE batched transfer (per-array dtype-converting puts cost seconds each
+    over the remote-TPU tunnel — ell.py module docstring); an operator-cache
+    artifact (built once per discretization, reused across solves)."""
     import scipy.sparse as sp
 
+    np_dtype = np.dtype(dtype)
     A = H.tocsr().astype(np.float64)
     levels = []
     sizes = [A.shape[0]]
@@ -200,19 +260,15 @@ def build_hierarchy(
         d = np.where(np.abs(d) > 0, d, 1.0)
         omega = 4.0 / (3.0 * _rho_dinv_a(A, d))
         P = (T - sp.diags(omega / d) @ (A @ T)).tocsr()
-        Ac = (P.T @ A @ P).tocsr()
+        P = _truncate_prolongator(P, p_keep)
+        Ac = _filter_operator((P.T @ A @ P).tocsr(), drop_tol)
         Ac.sum_duplicates()
 
-        ar, ac, av = _coo_sorted(A)
-        pr, pc, pv = _coo_sorted(P)
-        ptr, ptc, ptv = _coo_sorted(P, by_col=True)
         levels.append(AMGLevel(
-            jnp.asarray(ar, jnp.int32), jnp.asarray(ac, jnp.int32),
-            jnp.asarray(av, dtype), jnp.asarray(1.0 / d, dtype),
-            jnp.asarray(pr, jnp.int32), jnp.asarray(pc, jnp.int32),
-            jnp.asarray(pv, dtype),
-            jnp.asarray(ptr, jnp.int32), jnp.asarray(ptc, jnp.int32),
-            jnp.asarray(ptv, dtype),
+            ell.build_ell(A, np_dtype),
+            (1.0 / d).astype(np_dtype),
+            ell.build_ell(P, np_dtype),
+            ell.build_ell(P.T.tocsr(), np_dtype),
         ))
         A = Ac
         sizes.append(A.shape[0])
@@ -222,19 +278,13 @@ def build_hierarchy(
         # a diagonal coarse "solve" keeps the preconditioner SPD and cheap
         d = np.asarray(A.diagonal())
         d = np.where(np.abs(d) > 0, d, 1.0)
-        coarse_inv = jnp.asarray(np.diag(1.0 / d), dtype)
-        return AMGHierarchy(tuple(levels), coarse_inv, tuple(sizes))
-    Ad = A.toarray()
-    # pseudo-inverse tolerates the singular Neumann-mode operators (constant
-    # null space); computed in f64, applied in the compute dtype
-    coarse_inv = jnp.asarray(np.linalg.pinv(Ad, rcond=1e-10), dtype)
-    return AMGHierarchy(tuple(levels), coarse_inv, tuple(sizes))
-
-
-def _seg_matvec(x, rows, cols, vals, n: int):
-    return jax.ops.segment_sum(
-        vals * x[cols], rows, num_segments=n, indices_are_sorted=True
-    )
+        coarse_inv = np.diag(1.0 / d).astype(np_dtype)
+    else:
+        # pseudo-inverse tolerates the singular Neumann-mode operators
+        # (constant null space); computed in f64, applied in compute dtype
+        coarse_inv = np.linalg.pinv(A.toarray(), rcond=1e-10).astype(np_dtype)
+    levels, coarse_inv = ell.device_put_tree((tuple(levels), coarse_inv))
+    return AMGHierarchy(levels, coarse_inv, tuple(sizes))
 
 
 def make_preconditioner_parts(levels, coarse_inv, sizes, smooth_iters: int = 1):
@@ -242,12 +292,12 @@ def make_preconditioner_parts(levels, coarse_inv, sizes, smooth_iters: int = 1):
     identical pre/post counts — SPD, valid inside CG).
 
     ``levels``/``coarse_inv`` are pytrees of device arrays (jit arguments);
-    ``sizes`` must be a static tuple of ints (segment counts)."""
+    ``sizes`` must be a static tuple of ints (kept for jit cache keys)."""
     omega = 0.67
 
-    def smooth(lvl: AMGLevel, n, x, b):
+    def smooth(lvl: AMGLevel, x, b):
         for _ in range(smooth_iters):
-            r = b - _seg_matvec(x, lvl.a_rows, lvl.a_cols, lvl.a_vals, n)
+            r = b - ell.matvec(lvl.A, x)
             x = x + omega * lvl.inv_diag * r
         return x
 
@@ -255,13 +305,12 @@ def make_preconditioner_parts(levels, coarse_inv, sizes, smooth_iters: int = 1):
         if level == len(levels):
             return coarse_inv @ b
         lvl = levels[level]
-        n, nc = sizes[level], sizes[level + 1]
         x = omega * lvl.inv_diag * b  # pre-smooth from zero
-        r = b - _seg_matvec(x, lvl.a_rows, lvl.a_cols, lvl.a_vals, n)
-        rc = _seg_matvec(r, lvl.pt_cols, lvl.pt_rows, lvl.pt_vals, nc)  # P^T r
+        r = b - ell.matvec(lvl.A, x)
+        rc = ell.matvec(lvl.PT, r)
         xc = cycle(level + 1, rc)
-        x = x + _seg_matvec(xc, lvl.p_rows, lvl.p_cols, lvl.p_vals, n)  # + P xc
-        return smooth(lvl, n, x, b)
+        x = x + ell.matvec(lvl.P, xc)
+        return smooth(lvl, x, b)
 
     return lambda b: cycle(0, b)
 

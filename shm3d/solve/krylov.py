@@ -25,6 +25,14 @@ class SolveResult(NamedTuple):
     x: jnp.ndarray
     iterations: jnp.ndarray
     residual: jnp.ndarray  # final (preconditioned) residual norm estimate
+    # stall-detector state (best residual so far, iterations since it
+    # improved) — thread back in via ``stall_state`` when warm-restarting in
+    # bounded chunks, otherwise every restart resets the detector and an
+    # unconverged solve near its floor gets killed chunks too early
+    # (measured: 180 vs 288 iterations, 4.7e-3 vs 1.2e-3 residual, 7e-2
+    # phi error on the recovered bunny_small CR system).
+    best: Optional[jnp.ndarray] = None
+    since: Optional[jnp.ndarray] = None
 
 
 def _identity(x):
@@ -40,8 +48,14 @@ def cg(
     maxiter: int = 1000,
     rhs_mnorm=None,
     stall_window: Optional[int] = None,
+    stall_state=None,
 ) -> SolveResult:
     """Preconditioned conjugate gradients for SPD ``matvec``.
+
+    ``tol`` and ``maxiter`` may be traced scalars — chunked callers pass the
+    chunk bound dynamically so ONE compiled program serves every chunk size
+    (each static chunk size used to compile its own multi-minute program
+    over the remote-TPU tunnel).
 
     ``rhs_mnorm`` overrides the reference norm for the relative convergence
     test — pass ||b||_M of the ORIGINAL system when warm-restarting in
@@ -50,7 +64,9 @@ def cg(
 
     ``stall_window``: stop when the preconditioned residual has not improved
     by >2% for this many consecutive iterations (the dtype roundoff floor —
-    float32 solves otherwise burn maxiter chasing unreachable tolerances)."""
+    float32 solves otherwise burn maxiter chasing unreachable tolerances).
+    ``stall_state``: (best, since) from the previous chunk's SolveResult,
+    so the detector state survives warm restarts."""
     M = precond or _identity
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
@@ -59,7 +75,16 @@ def cg(
     rz0 = jnp.vdot(r0, z0)
     bnorm = jnp.sqrt(jnp.vdot(b, M(b))) if rhs_mnorm is None else rhs_mnorm
     threshold = tol * jnp.maximum(bnorm, jnp.finfo(b.dtype).tiny)
-    window = jnp.array(maxiter + 1 if stall_window is None else stall_window, jnp.int32)
+    if stall_window is None:
+        window = jnp.asarray(maxiter, jnp.int32) + 1
+    else:
+        window = jnp.asarray(stall_window, jnp.int32)
+    rn0 = jnp.sqrt(jnp.abs(rz0))
+    if stall_state is None:
+        best0, since0 = rn0, jnp.array(0, jnp.int32)
+    else:
+        best0 = jnp.minimum(jnp.asarray(stall_state[0], rn0.dtype), rn0)
+        since0 = jnp.asarray(stall_state[1], jnp.int32)
 
     def cond(state):
         _, r, _, _, rz, k, best, since = state
@@ -81,10 +106,9 @@ def cg(
         since = jnp.where(improved, 0, since + 1)
         return (x, r, z, p, rz_new, k + 1, best, since)
 
-    state = (x0, r0, z0, z0, rz0, jnp.array(0, jnp.int32),
-             jnp.sqrt(jnp.abs(rz0)), jnp.array(0, jnp.int32))
-    x, r, _, _, rz, k, _, _ = jax.lax.while_loop(cond, body, state)
-    return SolveResult(x, k, jnp.sqrt(jnp.abs(rz)))
+    state = (x0, r0, z0, z0, rz0, jnp.array(0, jnp.int32), best0, since0)
+    x, r, _, _, rz, k, best, since = jax.lax.while_loop(cond, body, state)
+    return SolveResult(x, k, jnp.sqrt(jnp.abs(rz)), best, since)
 
 
 def chebyshev(

@@ -14,8 +14,11 @@ constraints/mean shift act on those sub-faces — the same geometric surface
 the reference pins.  Externally-supplied conforming meshes are detected via
 ``find_surface_faces``.
 
-All solves are matrix-free segment-sum matvecs + (chunked) CG/MINRES like
-the vertex path.
+All solves are matrix-free ELL gather matvecs (solve/ell.py — TPU
+scatter-adds run at ~60M elem/s and put knot's 31.4M-nnz CR solve into the
+worker watchdog; the CR Laplacian's natural row width is 7) + (chunked) CG
+like the vertex path.  Operator arrays are built on host in final dtypes
+and shipped with one batched transfer (ell.py module docstring).
 """
 
 from __future__ import annotations
@@ -28,10 +31,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LevelSetConstraint, SignedHeatOptions
-from ..solve import amg, krylov
+from ..solve import amg, ell, krylov
 from . import fem
 from .mesher import TetMesh
-from .solver import _run_chunked
+from . import solver as solver_mod
+from .solver import _refined_solve, _run_chunked, hierarchy_iter_cost
 
 
 def find_surface_faces(mesh: TetMesh, src_faces: np.ndarray) -> Optional[np.ndarray]:
@@ -58,20 +62,13 @@ def find_surface_faces(mesh: TetMesh, src_faces: np.ndarray) -> Optional[np.ndar
     return order[pos]
 
 
-@functools.partial(jax.jit, static_argnames=("nf",))
-def _cr_divergence(Y, div_faces, div_tets, div_nvec, nf: int):
-    """Integrated divergence onto faces: div[f] += n_f(outward) . Y_tet
-    (faceDivergence, signed_heat_tet_solver.cpp:609-621)."""
-    return jax.ops.segment_sum(
-        jnp.einsum("ij,ij->i", div_nvec, Y[div_tets]), div_faces, num_segments=nf
-    )
-
-
 @jax.jit
-def _coo_matvec(x, rows, cols, vals):
-    return jax.ops.segment_sum(
-        vals * x[cols], rows, num_segments=x.shape[0], indices_are_sorted=True
-    )
+def _cr_divergence(Y, div_tets2, div_nvec2):
+    """Integrated divergence onto faces: div[f] = sum over the <=2 incident
+    tets of n_f(outward) . Y_tet (faceDivergence,
+    signed_heat_tet_solver.cpp:609-621).  Gather form: (nf, 2) incident-tet
+    ids + (nf, 2, 3) signed normals (zero rows pad boundary faces)."""
+    return jnp.einsum("fkj,fkj->f", div_nvec2, Y[div_tets2])
 
 
 def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag):
@@ -89,39 +86,43 @@ def _stall_window(dtype):
     return 60 if jnp.dtype(dtype) == jnp.float32 else 1000
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "chunk", "mg_sizes"))
-def _cr_zeroset_chunk(div, x0, rows, cols, vals, diag, surf_mask,
-                      mg_levels, mg_coarse, tol: float, chunk: int,
-                      mg_sizes: tuple = ()):
-    """Dirichlet on the surface faces: phi = 0 there, L_II phi_I = div_I
-    (L_CR stored in the positive-definite convention, fem.py)."""
+@functools.partial(jax.jit, static_argnames=("mg_sizes",))
+def _cr_zeroset_chunk(b, x0, L, diag, surf_mask,
+                      mg_levels, mg_coarse, stall, tol=1e-5,
+                      chunk=solver_mod.CHUNK_ITERS, mg_sizes: tuple = ()):
+    """Dirichlet on the surface faces: phi = 0 there, L_II phi_I = b_I
+    (L_CR stored in the positive-definite convention, fem.py; b = masked
+    div, or a refinement residual)."""
     def matvec(x):
-        return surf_mask * _coo_matvec(surf_mask * x, rows, cols, vals) + (1.0 - surf_mask) * x
+        return surf_mask * ell.matvec(L, surf_mask * x) + (1.0 - surf_mask) * x
 
     precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag)
-    b = surf_mask * div
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x * surf_mask, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype),
+                    stall_state=stall)
+    rel = res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+    return res.x * surf_mask, res.iterations, rel, (res.best, res.since)
 
 
-@functools.partial(jax.jit, static_argnames=("tol", "chunk", "mg_sizes"))
-def _cr_none_chunk(div, x0, rows, cols, vals, diag,
-                   mg_levels, mg_coarse, tol: float, chunk: int,
-                   mg_sizes: tuple = ()):
-    b = div - jnp.mean(div)
-
+@functools.partial(jax.jit, static_argnames=("mg_sizes",))
+def _cr_none_chunk(b, x0, L, diag,
+                   mg_levels, mg_coarse, stall, tol=1e-5,
+                   chunk=solver_mod.CHUNK_ITERS, mg_sizes: tuple = ()):
+    """Singular CR Poisson chunk: L phi = b, constants deflated
+    (b pre-deflated by the caller)."""
     def matvec(x):
-        y = _coo_matvec(x, rows, cols, vals)
+        y = ell.matvec(L, x)
         return y - jnp.mean(y)
 
     mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag)
     precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype),
+                    stall_state=stall)
+    rel = res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+    return res.x, res.iterations, rel, (res.best, res.since)
 
 
 def _group_projector(group_elems, group_ids, group_winv, n_groups: int):
@@ -138,14 +139,16 @@ def _group_projector(group_elems, group_ids, group_winv, n_groups: int):
     return project
 
 
-@functools.partial(jax.jit, static_argnames=("n_groups", "tol", "chunk", "mg_sizes"))
-def _cr_multiple_chunk(div, x0, rows, cols, vals, diag,
+@functools.partial(jax.jit, static_argnames=("n_groups", "mg_sizes"))
+def _cr_multiple_chunk(b, x0, L, diag,
                        group_elems, group_ids, group_winv,
-                       mg_levels, mg_coarse,
-                       n_groups: int, tol: float, chunk: int, mg_sizes: tuple = ()):
+                       mg_levels, mg_coarse, stall,
+                       n_groups: int, tol=1e-5, chunk=solver_mod.CHUNK_ITERS,
+                       mg_sizes: tuple = ()):
     """MULTIPLE mode via projected CG: the reference's per-component
     equality rows (:256-295) define the subspace 'u constant per component';
-    solve P L P u = P div with P = componentwise averaging."""
+    solve P L P u = P div with P = componentwise averaging (``b`` is
+    pre-projected by the caller)."""
     pgroup = _group_projector(group_elems, group_ids, group_winv, n_groups)
     # constants live in the subspace AND in ker(L) (the reference KKT is
     # equally singular, :256-295; a particular solution suffices because the
@@ -154,30 +157,33 @@ def _cr_multiple_chunk(div, x0, rows, cols, vals, diag,
 
     def matvec(x):
         # x stays in the subspace along the recurrence, so P L P x = P (L x)
-        return proj(_coo_matvec(x, rows, cols, vals))
+        return proj(ell.matvec(L, x))
 
     mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag)
     precond = lambda r: proj(mg(r))
-    b = proj(div)
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype),
+                    stall_state=stall)
+    rel = res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+    return res.x, res.iterations, rel, (res.best, res.since)
 
 
-@functools.partial(jax.jit, static_argnames=("nv", "tol", "chunk", "shift"))
-def _project_chunk(bvec, x0, p_rows, p_cols, p_vals, p_diag, nv: int, tol: float,
-                   chunk: int, shift: float = 0.0):
+@jax.jit
+def _project_chunk(bvec, x0, P, p_diag, stall, tol=1e-5,
+                   chunk=solver_mod.CHUNK_ITERS, shift=0.0):
     """(A^T M A + shift I) w = b, SPD (projectOntoVertices, :790-810;
     shift = the relative Tikhonov of projection_regularization)."""
     def matvec(x):
-        return _coo_matvec(x, p_rows, p_cols, p_vals) + shift * x
+        return ell.matvec(P, x) + shift * x
 
     precond = lambda r: r / p_diag
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(bvec, precond(bvec))))
     res = krylov.cg(matvec, bvec, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(bvec.dtype))
-    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(bvec.dtype),
+                    stall_state=stall)
+    rel = res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+    return res.x, res.iterations, rel, (res.best, res.since)
 
 
 # --- projection regularization on sliver-bearing recovery meshes ----------
@@ -257,11 +263,10 @@ class CRPath:
 
     def __init__(self, mesh: TetMesh, surface_faces: np.ndarray, dtype=jnp.float64,
                  cr_ops=None):
-        import scipy.sparse as sp
-
         self.mesh = mesh
-        self.nf = mesh.n_faces
+        self.nf = nf = mesh.n_faces
         self.surface_faces = np.asarray(surface_faces, dtype=np.int64)
+        np_dtype = np.dtype(dtype)
         # cr_ops: pre-built (e.g. disk-cached) operator arrays
         cr = cr_ops if cr_ops is not None else fem.build_cr_operators(mesh)
         self.cr = cr
@@ -278,38 +283,44 @@ class CRPath:
 
         A = cr.A_scipy()
         M = cr.M_scipy()
-        P = (A.T @ M @ A).tocoo()
-        # sort projection entries by row for sorted segment_sum
-        order = np.lexsort((P.col, P.row))
-        p_rows, p_cols, p_vals = P.row[order], P.col[order], P.data[order]
+        P = (A.T @ M @ A).tocsr()
+        self._P_scipy = P          # host f64 copies for defect correction
+        self._AtM_scipy = (A.T @ M).tocsr()
         p_diag = np.asarray(P.diagonal())
         self._proj_shift, self._proj_weak = projection_regularization(p_diag)
         p_diag = np.where(np.abs(p_diag) > 0, p_diag, 1.0) + self._proj_shift
 
-        self.arrays = dict(
-            rows=jnp.asarray(cr.L_rows, jnp.int32),
-            cols=jnp.asarray(cr.L_cols, jnp.int32),
-            vals=jnp.asarray(cr.L_vals, dtype),
-            diag=jnp.asarray(diag, dtype),
-            p_rows=jnp.asarray(p_rows, jnp.int32),
-            p_cols=jnp.asarray(p_cols, jnp.int32),
-            p_vals=jnp.asarray(p_vals, dtype),
-            p_diag=jnp.asarray(p_diag, dtype),
+        # everything below is built in final dtypes and shipped with ONE
+        # batched put (per-array converting puts cost seconds each over the
+        # remote-TPU tunnel; ell.py module docstring)
+        arrays = dict(
+            L=ell.build_ell(self._H, np_dtype),
+            diag=diag.astype(np_dtype),
+            P=ell.build_ell(P, np_dtype),
+            p_diag=p_diag.astype(np_dtype),
+            # M A phi_face -> vertices uses A^T M
+            AtM=ell.build_ell((A.T @ M).tocsr(), np_dtype),
         )
+        # divergence in gather form: (nf, 2) incident tets + signed normals
+        counts = np.bincount(cr.div_faces, minlength=nf)
         order_d = np.argsort(cr.div_faces, kind="stable")
-        self.arrays["divf"] = jnp.asarray(cr.div_faces[order_d], jnp.int32)
-        self.arrays["divt"] = jnp.asarray(cr.div_tets[order_d], jnp.int32)
-        self.arrays["divn"] = jnp.asarray(cr.div_nvec[order_d], dtype)
+        df = cr.div_faces[order_d]
+        first = np.zeros(nf, np.int64)
+        first[1:] = np.cumsum(counts)[:-1]
+        pos = np.arange(df.size) - first[df]
+        K = int(counts.max()) if counts.size else 1
+        dtets2 = np.zeros((nf, K), np.int32)
+        dnvec2 = np.zeros((nf, K, 3), np_dtype)
+        dtets2[df, pos] = cr.div_tets[order_d]
+        dnvec2[df, pos] = cr.div_nvec[order_d]
+        arrays["divt"] = dtets2
+        arrays["divn"] = dnvec2
         # surface mask (0 on constrained faces)
-        mask = np.ones(self.nf)
+        mask = np.ones(nf, np_dtype)
         mask[self.surface_faces] = 0.0
-        self.arrays["surf_mask"] = jnp.asarray(mask, dtype)
-        # M A phi_face -> vertices uses A^T M: precompute (A^T M) as COO
-        AtM = (A.T @ M).tocoo()
-        order2 = np.lexsort((AtM.col, AtM.row))
-        self.arrays["am_rows"] = jnp.asarray(AtM.row[order2], jnp.int32)
-        self.arrays["am_cols"] = jnp.asarray(AtM.col[order2], jnp.int32)
-        self.arrays["am_vals"] = jnp.asarray(AtM.data[order2], dtype)
+        arrays["surf_mask"] = mask
+        self._mask64 = mask.astype(np.float64)
+        self.arrays = ell.device_put_tree(arrays)
         self.dtype = dtype
         self.last_stats = {}
 
@@ -326,67 +337,99 @@ class CRPath:
 
     def integrate(self, Y, options: SignedHeatOptions, src_face_components=None,
                   src_face_areas=None) -> jnp.ndarray:
-        """Full CR Step 3: returns -phi_vertices (reference sign, :316)."""
+        """Full CR Step 3: returns -phi_vertices (reference sign, :316).
+
+        Both solves (face system + vertex projection) run f32-chunked on
+        device with host-f64 defect correction (solver._refined_solve) —
+        recovery meshes are ill-conditioned enough that f32 CG stalls well
+        short of useful accuracy (measured 7e-2 phi error on TPU without
+        correction)."""
         a = self.arrays
         nf = self.nf
         nv = self.mesh.n_vertices
         tol, maxiter = options.resolved_solver_tol(), options.solver_maxiter
-        div = _cr_divergence(Y, a["divf"], a["divt"], a["divn"], nf)
+        div = _cr_divergence(Y, a["divt"], a["divn"])
+        div64 = np.asarray(div, np.float64)
 
         mode = options.level_set_constraint
         h = self._hierarchy(mode)
+        cost = hierarchy_iter_cost(h)
+        mg = (h.levels, h.coarse_inv)
+        H64 = self._H
+        zeros = jnp.zeros(nf, self.dtype)
         if mode == LevelSetConstraint.ZERO_SET:
-            fn = lambda x0, c: _cr_zeroset_chunk(
-                div, x0, a["rows"], a["cols"], a["vals"], a["diag"], a["surf_mask"],
-                h.levels, h.coarse_inv, tol=tol, chunk=c, mg_sizes=h.sizes)
-            phi_f, it1, r1 = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
+            m64 = self._mask64
+            b64 = m64 * div64
+            host_op = lambda x: m64 * (H64 @ (m64 * x)) + (1.0 - m64) * x
+            run = lambda b: _run_chunked(
+                lambda x0, c, s: _cr_zeroset_chunk(
+                    b, x0, a["L"], a["diag"], a["surf_mask"], *mg, s,
+                    tol=tol, chunk=c, mg_sizes=h.sizes),
+                zeros, tol, maxiter, iter_cost=cost)
+            phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options)
         elif mode == LevelSetConstraint.MULTIPLE:
             labels = np.asarray(src_face_components)
             _, gids = np.unique(labels, return_inverse=True)
             sizes = np.bincount(gids).astype(np.float64)
             n_groups = int(gids.max()) + 1
-            fn = lambda x0, c: _cr_multiple_chunk(
-                div, x0, a["rows"], a["cols"], a["vals"], a["diag"],
-                jnp.asarray(self.surface_faces, jnp.int32),
-                jnp.asarray(gids, jnp.int32),
-                jnp.asarray(1.0 / sizes, self.dtype),
-                h.levels, h.coarse_inv,
-                n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes)
-            phi_f, it1, r1 = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
-            phi_f = phi_f - self._face_shift(phi_f, src_face_areas)
-        else:
-            fn = lambda x0, c: _cr_none_chunk(
-                div, x0, a["rows"], a["cols"], a["vals"], a["diag"],
-                h.levels, h.coarse_inv, tol=tol, chunk=c, mg_sizes=h.sizes)
-            phi_f, it1, r1 = _run_chunked(fn, jnp.zeros(nf, self.dtype), tol, maxiter)
-            phi_f = phi_f - self._face_shift(phi_f, src_face_areas)
+            elems = self.surface_faces
+            gparts = ell.device_put_tree(dict(
+                elems=elems.astype(np.int32),
+                gids=gids.astype(np.int32),
+                winv=(1.0 / sizes).astype(np.dtype(self.dtype))))
 
-        # L2 projection to vertices: (A^T M A) w = A^T M phi_f
-        b = jax.ops.segment_sum(
-            a["am_vals"] * phi_f[a["am_cols"]], a["am_rows"],
-            num_segments=nv, indices_are_sorted=True,
-        )
-        fnp = lambda x0, c: _project_chunk(
-            b, x0, a["p_rows"], a["p_cols"], a["p_vals"], a["p_diag"],
-            nv=nv, tol=tol, chunk=c, shift=float(self._proj_shift))
-        w, it2, r2 = _run_chunked(fnp, jnp.zeros(nv, self.dtype), tol, maxiter)
+            def proj64(v):
+                v = np.array(v, copy=True)
+                sums = np.bincount(gids, weights=v[elems], minlength=n_groups)
+                v[elems] = (sums / sizes)[gids]
+                return v - v.mean()
+
+            b64 = proj64(div64)
+            host_op = lambda x: proj64(H64 @ x)
+            run = lambda b: _run_chunked(
+                lambda x0, c, s: _cr_multiple_chunk(
+                    b, x0, a["L"], a["diag"],
+                    gparts["elems"], gparts["gids"], gparts["winv"], *mg, s,
+                    n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes),
+                zeros, tol, maxiter, iter_cost=cost)
+            phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options)
+            phi_f = phi_f - self._face_shift64(phi_f, src_face_areas)
+        else:
+            b64 = div64 - div64.mean()
+            host_op = lambda x: (lambda y: y - y.mean())(H64 @ x)
+            run = lambda b: _run_chunked(
+                lambda x0, c, s: _cr_none_chunk(
+                    b, x0, a["L"], a["diag"], *mg, s,
+                    tol=tol, chunk=c, mg_sizes=h.sizes),
+                zeros, tol, maxiter, iter_cost=cost)
+            phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options)
+            phi_f = phi_f - self._face_shift64(phi_f, src_face_areas)
+
+        # L2 projection to vertices: (A^T M A + shift I) w = A^T M phi_f
+        shift = float(self._proj_shift)
+        b64p = self._AtM_scipy @ phi_f
+        P64 = self._P_scipy
+        host_opp = lambda x: P64 @ x + shift * x
+        runp = lambda b: _run_chunked(
+            lambda x0, c, s: _project_chunk(
+                b, x0, a["P"], a["p_diag"], s,
+                tol=tol, chunk=c, shift=shift),
+            jnp.zeros(nv, self.dtype), tol, maxiter,
+            iter_cost=2 * a["P"].vals.size)
+        w, it2, r2 = _refined_solve(runp, host_opp, b64p, self.dtype, options)
         self.last_stats = {"iters": int(it1), "residual": float(r1),
                            "proj_iters": int(it2), "proj_residual": float(r2)}
         if self._proj_weak.size:
-            w = jnp.asarray(
-                repair_mass_starved(np.asarray(w, np.float64), self._proj_weak,
-                                    np.asarray(self.mesh.tets)),
-                self.dtype,
-            )
+            w = repair_mass_starved(w, self._proj_weak, np.asarray(self.mesh.tets))
         # The reference returns -phi here (:316) to compensate its internal
         # divergence sign convention; our faceDivergence is built from
         # outward-positive signed normals (mesher tet_face_sign), which
         # already yields the vertex-path sign (inside negative) directly.
         return w
 
-    def _face_shift(self, phi_f, src_face_areas):
-        """Area-weighted mean of phi over the surface faces
+    def _face_shift64(self, phi_f, src_face_areas):
+        """Area-weighted mean of phi over the surface faces, host f64
         (averageFaceDataOnSource, :558-573)."""
-        areas = jnp.asarray(src_face_areas, self.dtype)
-        vals = phi_f[jnp.asarray(self.surface_faces, jnp.int32)]
-        return jnp.sum(areas * vals) / jnp.sum(areas)
+        areas = np.asarray(src_face_areas, np.float64)
+        vals = np.asarray(phi_f)[self.surface_faces]
+        return float(np.sum(areas * vals) / np.sum(areas))

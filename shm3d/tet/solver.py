@@ -47,7 +47,7 @@ from ..geometry import sources as src_mod
 from ..geometry import surface as surf
 from ..io.mesh_io import Mesh, PointCloud
 from ..ops.yukawa import yukawa_field
-from ..solve import amg, krylov
+from ..solve import amg, ell, krylov
 from ..utils import checks, diskcache, timing
 from . import fem
 from .mesher import TetMesh, build_tet_domain
@@ -70,15 +70,6 @@ class TetResult:
 # jitted stages
 
 
-@jax.jit
-def _laplacian_matvec(x, rows, cols, vals):
-    # rows are sorted by construction (fem._dedup) — lets XLA lower the
-    # scatter as a segmented reduction instead of serialized updates
-    return jax.ops.segment_sum(
-        vals * x[cols], rows, num_segments=x.shape[0], indices_are_sorted=True
-    )
-
-
 def _divergence(Y, div_rows, div_tets, div_gvec, n):
     return jax.ops.segment_sum(
         jnp.einsum("ij,ij->i", div_gvec, Y[div_tets]), div_rows,
@@ -92,15 +83,35 @@ def _divergence(Y, div_rows, div_tets, div_gvec, n):
 # program, which the TPU runtime's watchdog kills ("TPU worker process
 # crashed or restarted"); chunking bounds per-program runtime.
 #
-# Chunk sizes are ADAPTIVE on TPU: per-iteration cost spans orders of
-# magnitude across problem sizes (a fixed 400-iteration chunk passed the
-# watchdog on 50k-face systems and was killed on knot's 4M-face CR solve),
-# so _run_chunked starts small, measures wall-clock per iteration, and grows
-# the chunk toward a ~20 s per-program target.  Sizes come from a fixed
-# bucket ladder so at most len(_CHUNK_BUCKETS) distinct programs compile.
-_CHUNK_BUCKETS = (25, 50, 100, 200, 400)
-CHUNK_ITERS = _CHUNK_BUCKETS[-1]
+# The chunk bound is a DYNAMIC argument of one compiled program (krylov.cg
+# takes traced tol/maxiter), so adapting the size costs nothing: per-chunk
+# remote compiles of a static-size ladder used to dominate cold solves
+# (~60-120 s each over the tunnel).  Sizing is per-iteration-cost based:
+# start from the iter_cost estimate, then track measured wall-clock toward
+# a ~20 s per-program target.  Stall-detector state is threaded through the
+# chunks (krylov.SolveResult.best/since) so restarts don't reset it.
+CHUNK_ITERS = 400  # initial bound when no cost estimate is available
+_CHUNK_MIN, _CHUNK_MAX = 25, 4000
 _CHUNK_TARGET_S = 20.0
+# conservative ELL-gather throughput on v5e (measured 123M elems/s with
+# random indices); used only to pick the FIRST chunk size so small problems
+# don't pay several host round-trips before the chunk grows
+_GATHER_RATE = 6e7
+
+
+def hierarchy_iter_cost(h) -> int:
+    """Estimated gathered elements per AMG-preconditioned CG iteration:
+    the CG matvec on the level-0 operator plus a symmetric V-cycle
+    (2 operator matvecs + P + P^T per level)."""
+    cost = 0
+    for i, lvl in enumerate(h.levels):
+        cost += (3 if i == 0 else 2) * lvl.A.vals.size
+        cost += lvl.P.vals.size + lvl.PT.vals.size
+    return int(cost)
+
+
+def _clamp_chunk(n: float) -> int:
+    return int(min(max(n, _CHUNK_MIN), _CHUNK_MAX))
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
@@ -123,52 +134,58 @@ def _stall_window(dtype):
     return 60 if jnp.dtype(dtype) == jnp.float32 else 1000
 
 
-@functools.partial(jax.jit, static_argnames=("n", "n_src", "tol", "chunk", "mg_sizes"))
-def _zeroset_chunk(div, x0, rows, cols, vals, diagH, mg_levels, mg_coarse,
-                   n: int, n_src: int, tol: float, chunk: int, mg_sizes: tuple = ()):
-    """Dirichlet solve chunk: phi = 0 on source vertices, H_II phi_I = -div_I."""
-    mask = (jnp.arange(n) >= n_src).astype(div.dtype)
+@functools.partial(jax.jit, static_argnames=("n", "n_src", "mg_sizes"))
+def _zeroset_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
+                   n: int, n_src: int, tol=1e-5, chunk=CHUNK_ITERS,
+                   mg_sizes: tuple = ()):
+    """Dirichlet solve chunk: phi = 0 on source vertices, H_II phi_I = b_I
+    (b = masked -div, or a refinement residual).  H = -L_dual (positive
+    definite on the interior block), in ELL form."""
+    mask = (jnp.arange(n) >= n_src).astype(b.dtype)
 
     def matvec(x):
-        return mask * -_laplacian_matvec(mask * x, rows, cols, vals) + (1.0 - mask) * x
+        return mask * ell.matvec(H, mask * x) + (1.0 - mask) * x
 
     precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH)
-    b = mask * -div
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x * mask, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype),
+                    stall_state=stall)
+    rel = res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+    return res.x * mask, res.iterations, rel, (res.best, res.since)
 
 
-@functools.partial(jax.jit, static_argnames=("n", "tol", "chunk", "mg_sizes"))
-def _none_chunk(div, x0, rows, cols, vals, diagH, mg_levels, mg_coarse,
-                n: int, tol: float, chunk: int, mg_sizes: tuple = ()):
-    """Singular Poisson chunk: H phi = -div with constants projected out."""
-    b = -div
-    b = b - jnp.mean(b)
-
+@functools.partial(jax.jit, static_argnames=("n", "mg_sizes"))
+def _none_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
+                n: int, tol=1e-5, chunk=CHUNK_ITERS, mg_sizes: tuple = ()):
+    """Singular Poisson chunk: H phi = b with constants projected out
+    (b pre-deflated by the caller)."""
     def matvec(x):
-        y = -_laplacian_matvec(x, rows, cols, vals)
+        y = ell.matvec(H, x)
         return y - jnp.mean(y)
 
     mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH)
     precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype),
+                    stall_state=stall)
+    rel = res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+    return res.x, res.iterations, rel, (res.best, res.since)
 
 
-@functools.partial(jax.jit, static_argnames=("n_groups", "tol", "chunk", "mg_sizes"))
-def _multiple_chunk(div, x0, rows, cols, vals, diagH,
+@functools.partial(jax.jit, static_argnames=("n_groups", "mg_sizes"))
+def _multiple_chunk(b, x0, H, diagH,
                     group_elems, group_ids, group_winv,
-                    mg_levels, mg_coarse,
-                    n_groups: int, tol: float, chunk: int, mg_sizes: tuple = ()):
+                    mg_levels, mg_coarse, stall,
+                    n_groups: int, tol=1e-5, chunk=CHUNK_ITERS,
+                    mg_sizes: tuple = ()):
     """MULTIPLE mode via projected CG: the reference's per-component
     equality rows (:211-217,382-389) define the subspace 'phi constant per
     source component'; solve P H P u = P b with P = componentwise averaging
     composed with mean deflation (H = -L_dual is singular on constants, as
-    is the reference's KKT — the mean shift fixes the constant afterwards)."""
+    is the reference's KKT — the mean shift fixes the constant afterwards).
+    ``b`` is pre-projected by the caller."""
 
     def pgroup(v):
         sums = jax.ops.segment_sum(v[group_elems], group_ids, num_segments=n_groups)
@@ -177,48 +194,93 @@ def _multiple_chunk(div, x0, rows, cols, vals, diagH,
     proj = lambda v: (lambda w: w - jnp.mean(w))(pgroup(v))
 
     def matvec(x):
-        return proj(-_laplacian_matvec(x, rows, cols, vals))
+        return proj(ell.matvec(H, x))
 
     mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH)
     precond = lambda r: proj(mg(r))
-    b = proj(-div)
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
-                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype))
-    return res.x, res.iterations, res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+                    rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype),
+                    stall_state=stall)
+    rel = res.residual / jnp.maximum(rhs_mnorm, jnp.finfo(res.residual.dtype).tiny)
+    return res.x, res.iterations, rel, (res.best, res.since)
 
 
-def _run_chunked(chunk_fn, x0, tol: float, maxiter: int, chunk: Optional[int] = None):
+def _run_chunked(chunk_fn, x0, tol: float, maxiter: int, chunk: Optional[int] = None,
+                 iter_cost: Optional[int] = None):
     """Host loop: run bounded Krylov chunks until converged or maxiter.
-    chunk_fn(x0, chunk) -> (x, iters, residual); residual is the solver's
-    preconditioned-norm estimate, already compared against tol internally.
+    chunk_fn(x0, chunk, stall) -> (x, iters, residual, stall'); residual is
+    the solver's preconditioned-norm estimate, already compared against tol
+    internally; stall is the cross-chunk (best, since) detector state.
 
-    On TPU the chunk size adapts: start at the smallest bucket, measure
-    wall-clock (the int(iters) read blocks on the program), and step to the
-    largest bucket whose projected runtime stays under _CHUNK_TARGET_S.
-    The first execution of a bucket includes its compile time, which only
-    makes the estimate conservative.  Elsewhere: one unbounded chunk."""
+    The chunk bound and tol are DYNAMIC jit arguments, so all chunk sizes
+    share one compiled program.  On TPU the size adapts: the first bound
+    comes from the ``iter_cost`` estimate (gathered elements per iteration /
+    _GATHER_RATE), then wall-clock measurements (the int(iters) read blocks
+    on the program) steer toward _CHUNK_TARGET_S per program (the worker
+    watchdog kills minutes-long programs).  Elsewhere: one unbounded chunk."""
     adaptive = chunk is None and jax.default_backend() == "tpu"
     if chunk is None:
-        chunk = _CHUNK_BUCKETS[0] if adaptive else maxiter
+        if not adaptive:
+            chunk = maxiter
+        elif iter_cost:
+            chunk = _clamp_chunk(_CHUNK_TARGET_S / (iter_cost / _GATHER_RATE))
+        else:
+            chunk = CHUNK_ITERS
     total = 0
     x = x0
+    dtype = jnp.asarray(x0).dtype
+    stall = (jnp.asarray(jnp.finfo(dtype).max, dtype), jnp.asarray(0, jnp.int32))
     while True:
         this = min(chunk, maxiter - total)
         if this <= 0:
             break
         t0 = time.perf_counter()
-        x, iters, resid = chunk_fn(x, this)
+        x, iters, resid, stall = chunk_fn(x, this, stall)
         done = int(iters)
         dt = time.perf_counter() - t0
         total += done
-        if done < this:  # converged (or broke down) inside the chunk
+        if done < this:  # converged (or stalled at the floor) inside the chunk
             break
         if adaptive and done:
-            per_iter = dt / done
-            fits = [b for b in _CHUNK_BUCKETS if b * per_iter <= _CHUNK_TARGET_S]
-            chunk = fits[-1] if fits else _CHUNK_BUCKETS[0]
+            chunk = _clamp_chunk(_CHUNK_TARGET_S / (dt / done))
     return x, total, resid
+
+
+def _refined_solve(run, host_op, b64, dtype, options, tm=None):
+    """Mixed-precision solve of A x = b with f64 defect correction.
+
+    ``run(b_device)`` performs one full chunked device solve of
+    A x = b from x0 = 0 (f32 on TPU, where CG stalls at its roundoff floor —
+    measured 4.7e-3 relative residual and 7e-2 phi error on the recovered
+    bunny_small CR system).  ``host_op(x64) -> A @ x64`` applies the SAME
+    operator (mask/projection included) in f64 on host (SciPy; cheap
+    next to the device solve).  Each correction pass contracts the true
+    residual by roughly the device solver's stall floor, so
+    ``options.refine_steps`` passes recover f64-grade accuracy from f32
+    device solves — the tet-path analog of the grid solver's defect
+    correction (solvers/grid.py _refine).
+
+    Returns (x64, iters_total, rel_res_f64)."""
+    b64 = np.asarray(b64, np.float64)
+    x, iters, res = run(jnp.asarray(b64, dtype))
+    x64 = np.asarray(x, np.float64)
+    total = int(iters)
+    rel = float(res)
+    bnorm = float(np.linalg.norm(b64))
+    if options.refine_steps > 0 and jnp.dtype(dtype) == jnp.float32 and bnorm > 0:
+        for _ in range(options.refine_steps):
+            r64 = b64 - host_op(x64)
+            rel = float(np.linalg.norm(r64)) / bnorm
+            if not np.isfinite(rel) or rel <= options.refine_target:
+                break
+            d, it2, _ = run(jnp.asarray(r64, dtype))
+            x64 = x64 + np.asarray(d, np.float64)
+            total += int(it2)
+        rel = float(np.linalg.norm(b64 - host_op(x64))) / bnorm
+        if tm is not None:
+            tm.note(f"defect correction: rel_res={rel:.2e} (f64)")
+    return x64, total, rel
 
 
 # ---------------------------------------------------------------------------
@@ -481,6 +543,21 @@ class SignedHeatTetSolver:
         diagH = np.where(diagH > 0, diagH, 1.0)
         labels = arrays["src_labels"]
         comp_root, comp_member = _component_rows(labels, mesh.src_vertex)
+        np_dtype = np.dtype(dtype)
+        # final dtypes on host, one batched transfer (ell.py module docstring)
+        device = ell.device_put_tree(dict(
+            barys=np.asarray(mesh.barycenters(), np_dtype),
+            points=arrays["points"].astype(np_dtype),
+            vectors=arrays["vectors"].astype(np_dtype),
+            H_ell=ell.build_ell(H_scipy, np_dtype),
+            div_rows=np.asarray(dual.div_rows, np.int32),
+            div_tets=np.asarray(dual.div_tets, np.int32),
+            div_gvec=np.asarray(dual.div_gvec, np_dtype),
+            diagH=diagH.astype(np_dtype),
+            dual_areas=arrays["dual_areas"].astype(np_dtype),
+            comp_root=np.asarray(comp_root, np.int32),
+            comp_member=np.asarray(comp_member, np.int32),
+        ))
         return dict(
             mesh=mesh,
             cr_path=cr_path,
@@ -488,22 +565,10 @@ class SignedHeatTetSolver:
             cr_face_areas=cr_face_areas,
             dual=dual,
             spacing=float(arrays["spacing"]),
-            barys=jnp.asarray(mesh.barycenters(), dtype),
-            points=jnp.asarray(arrays["points"], dtype),
-            vectors=jnp.asarray(arrays["vectors"], dtype),
-            rows=jnp.asarray(dual.rows, jnp.int32),
-            cols=jnp.asarray(dual.cols, jnp.int32),
-            vals=jnp.asarray(dual.vals, dtype),
-            div_rows=jnp.asarray(dual.div_rows, jnp.int32),
-            div_tets=jnp.asarray(dual.div_tets, jnp.int32),
-            div_gvec=jnp.asarray(dual.div_gvec, dtype),
-            diagH=jnp.asarray(diagH, dtype),
-            dual_areas=jnp.asarray(arrays["dual_areas"], dtype),
-            comp_root=jnp.asarray(comp_root, jnp.int32),
-            comp_member=jnp.asarray(comp_member, jnp.int32),
             src_labels=np.asarray(labels, dtype=np.int64),
             H_scipy=H_scipy,
             amg={},  # per-constraint-mode hierarchies, built lazily
+            **device,
         )
 
     @staticmethod
@@ -526,32 +591,63 @@ class SignedHeatTetSolver:
         div = _divergence_jit(
             Y, cached["div_rows"], cached["div_tets"], cached["div_gvec"], n
         )
-        op = (cached["rows"], cached["cols"], cached["vals"], cached["diagH"])
-        h = self._hierarchy(cached, mode, mesh.n_src, div.dtype)
+        dtype = div.dtype
+        op = (cached["H_ell"], cached["diagH"])
+        h = self._hierarchy(cached, mode, mesh.n_src, dtype)
         mg = (h.levels, h.coarse_inv)
+        cost = hierarchy_iter_cost(h)
+        H64 = cached["H_scipy"]
+        div64 = np.asarray(div, np.float64)
+        zeros = jnp.zeros(n, dtype)
         if mode == LevelSetConstraint.ZERO_SET:
-            fn = lambda x0, c: _zeroset_chunk(
-                div, x0, *op, *mg, n=n, n_src=mesh.n_src, tol=tol, chunk=c,
-                mg_sizes=h.sizes)
-            phi, iters, res = _run_chunked(fn, jnp.zeros(n, div.dtype), tol, maxiter)
+            mask64 = np.ones(n)
+            mask64[:mesh.n_src] = 0.0
+            b64 = mask64 * -div64
+            host_op = lambda x: mask64 * (H64 @ (mask64 * x)) + (1.0 - mask64) * x
+            run = lambda b: _run_chunked(
+                lambda x0, c, s: _zeroset_chunk(
+                    b, x0, *op, *mg, s, n=n, n_src=mesh.n_src, tol=tol,
+                    chunk=c, mg_sizes=h.sizes),
+                zeros, tol, maxiter, iter_cost=cost)
+            phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm)
+            phi = jnp.asarray(phi, dtype)
         elif mode == LevelSetConstraint.MULTIPLE:
             sv = np.asarray(mesh.src_vertex)
             first = np.sort(np.unique(sv, return_index=True)[1])
             elems = sv[first]
             _, gids = np.unique(cached["src_labels"][first], return_inverse=True)
             sizes = np.bincount(gids).astype(np.float64)
-            fn = lambda x0, c: _multiple_chunk(
-                div, x0, *op,
-                jnp.asarray(elems, jnp.int32), jnp.asarray(gids, jnp.int32),
-                jnp.asarray(1.0 / sizes, div.dtype), *mg,
-                n_groups=int(gids.max()) + 1, tol=tol, chunk=c, mg_sizes=h.sizes)
-            x, iters, res = _run_chunked(fn, jnp.zeros(n, div.dtype), tol, maxiter)
-            phi = self._shift(x, mesh, cached)
+            n_groups = int(gids.max()) + 1
+            gparts = ell.device_put_tree(dict(
+                elems=elems.astype(np.int32), gids=gids.astype(np.int32),
+                winv=(1.0 / sizes).astype(np.dtype(dtype))))
+
+            def proj64(v):
+                v = np.array(v, copy=True)
+                sums = np.bincount(gids, weights=v[elems], minlength=n_groups)
+                v[elems] = (sums / sizes)[gids]
+                return v - v.mean()
+
+            b64 = proj64(-div64)
+            host_op = lambda x: proj64(H64 @ x)
+            run = lambda b: _run_chunked(
+                lambda x0, c, s: _multiple_chunk(
+                    b, x0, *op,
+                    gparts["elems"], gparts["gids"], gparts["winv"], *mg, s,
+                    n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes),
+                zeros, tol, maxiter, iter_cost=cost)
+            x, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm)
+            phi = self._shift(jnp.asarray(x, dtype), mesh, cached)
         else:
-            fn = lambda x0, c: _none_chunk(div, x0, *op, *mg, n=n, tol=tol, chunk=c,
-                                           mg_sizes=h.sizes)
-            phi, iters, res = _run_chunked(fn, jnp.zeros(n, div.dtype), tol, maxiter)
-            phi = self._shift(phi, mesh, cached)
+            b64 = -div64
+            b64 = b64 - b64.mean()
+            host_op = lambda x: (lambda y: y - y.mean())(H64 @ x)
+            run = lambda b: _run_chunked(
+                lambda x0, c, s: _none_chunk(
+                    b, x0, *op, *mg, s, n=n, tol=tol, chunk=c, mg_sizes=h.sizes),
+                zeros, tol, maxiter, iter_cost=cost)
+            phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm)
+            phi = self._shift(jnp.asarray(phi, dtype), mesh, cached)
         tm.note(f"krylov iters={int(iters)} rel_res={float(res):.2e}")
         self.last_stats.update(iters=int(iters), residual=float(res))
         return phi
