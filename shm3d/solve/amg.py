@@ -228,7 +228,7 @@ def _filter_operator(A, drop_tol: float):
 
 def build_hierarchy(
     H, dtype, theta: float = 0.08, max_coarse: int = 192, max_levels: int = 12,
-    p_keep: int = 4, drop_tol: float = 0.02,
+    p_keep: int = 4, drop_tol: float = 0.02, mesh=None,
 ) -> AMGHierarchy:
     """Host-side SA-AMG setup for SPD (or semi-definite) sparse ``H``.
 
@@ -264,11 +264,12 @@ def build_hierarchy(
         Ac = _filter_operator((P.T @ A @ P).tocsr(), drop_tol)
         Ac.sum_duplicates()
 
+        pad = mesh.size if mesh is not None else 1
         levels.append(AMGLevel(
-            ell.build_ell(A, np_dtype),
+            ell.build_ell(A, np_dtype, pad_rows_to=pad),
             (1.0 / d).astype(np_dtype),
-            ell.build_ell(P, np_dtype),
-            ell.build_ell(P.T.tocsr(), np_dtype),
+            ell.build_ell(P, np_dtype, pad_rows_to=pad),
+            ell.build_ell(P.T.tocsr(), np_dtype, pad_rows_to=pad),
         ))
         A = Ac
         sizes.append(A.shape[0])
@@ -283,7 +284,10 @@ def build_hierarchy(
         # pseudo-inverse tolerates the singular Neumann-mode operators
         # (constant null space); computed in f64, applied in compute dtype
         coarse_inv = np.linalg.pinv(A.toarray(), rcond=1e-10).astype(np_dtype)
-    levels, coarse_inv = ell.device_put_tree((tuple(levels), coarse_inv))
+    # with a device mesh, every level's rows are sharded along the same axis
+    # as the level-0 operator (ell.device_put_tree's rule) — the V-cycle then
+    # runs as a chain of distributed SpMVs under GSPMD
+    levels, coarse_inv = ell.device_put_tree((tuple(levels), coarse_inv), mesh)
     return AMGHierarchy(levels, coarse_inv, tuple(sizes))
 
 
@@ -292,7 +296,8 @@ def make_preconditioner_parts(levels, coarse_inv, sizes, smooth_iters: int = 1):
     identical pre/post counts — SPD, valid inside CG).
 
     ``levels``/``coarse_inv`` are pytrees of device arrays (jit arguments);
-    ``sizes`` must be a static tuple of ints (kept for jit cache keys)."""
+    ``sizes`` must be a static tuple of ints (true per-level lengths — the
+    ELL panels may carry sharding padding rows, sliced off by matvec)."""
     omega = 0.67
 
     def smooth(lvl: AMGLevel, x, b):
@@ -307,9 +312,9 @@ def make_preconditioner_parts(levels, coarse_inv, sizes, smooth_iters: int = 1):
         lvl = levels[level]
         x = omega * lvl.inv_diag * b  # pre-smooth from zero
         r = b - ell.matvec(lvl.A, x)
-        rc = ell.matvec(lvl.PT, r)
+        rc = ell.matvec(lvl.PT, r, n_out=sizes[level + 1])
         xc = cycle(level + 1, rc)
-        x = x + ell.matvec(lvl.P, xc)
+        x = x + ell.matvec(lvl.P, xc, n_out=sizes[level])
         return smooth(lvl, x, b)
 
     return lambda b: cycle(0, b)

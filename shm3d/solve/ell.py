@@ -5,12 +5,19 @@ scatter-add that executes at ~60M elements/s even with sorted indices
 (measured on v5e: 512 ms for one 31.4M-nnz matvec), which put knot's CR
 Step 3 (reference default path, signed_heat_tet_solver.cpp:234-317) at
 620 s and into the worker watchdog.  The fixed-width gather form
-``(vals * x[cols]).sum(axis=1)`` halves that (255 ms measured, random
+``(vals * x[cols]).sum(axis=0)`` halves that (255 ms measured, random
 indices) and drops the rows array entirely.  The FEM operators here have
 naturally bounded row width — the CR Laplacian couples a face only within
 its <=2 incident tets (diag + 6 = width 7) — so ELL padding is small; hub
 rows beyond the chosen width spill into a sorted-COO tail applied with one
 segment_sum over the (few) remaining entries.
+
+Why the panels are TRANSPOSED (w, n): TPU tiles rank-2 f32/s32 arrays as
+(8, 128) — a row-major (n, 7) panel pads its minor dim 7 -> 128 (an 18x
+expansion; knot's CR chunk program budgeted 19 GB of HBM for its ELL
+panels and failed to compile).  With the long axis minor, (w, n) only pads
+w to the next multiple of 8 (<= 1.3x for the operators here) and the
+row-sum becomes a cheap sublane reduction.
 
 Why batched transfer: a per-array ``jnp.asarray(host_array, new_dtype)``
 compiles and runs a tiny convert program PER ARRAY; over the remote-TPU
@@ -30,26 +37,28 @@ import numpy as np
 
 
 class EllMat(NamedTuple):
-    """Fixed-width sparse matrix: row i holds entries (cols[i, j], vals[i, j]);
-    padded slots have vals == 0 (cols point at 0, harmless under gather).
-    Rows wider than the ELL width spill into the sorted-COO tail."""
+    """Fixed-width sparse matrix, transposed panels: slot j of row i holds
+    entry (cols[j, i], vals[j, i]); padded slots have vals == 0 (cols point
+    at 0, harmless under gather).  Rows wider than the ELL width spill into
+    the sorted-COO tail."""
 
-    cols: jnp.ndarray       # (n, w) int32
-    vals: jnp.ndarray       # (n, w) compute dtype
+    cols: jnp.ndarray       # (w, n) int32
+    vals: jnp.ndarray       # (w, n) compute dtype
     tail_rows: jnp.ndarray  # (t,) int32, row-sorted (t == 0 for most operators)
     tail_cols: jnp.ndarray  # (t,) int32
     tail_vals: jnp.ndarray  # (t,) compute dtype
 
     @property
     def n_rows(self) -> int:
-        return self.cols.shape[0]
+        return self.cols.shape[1]
 
     @property
     def width(self) -> int:
-        return self.cols.shape[1]
+        return self.cols.shape[0]
 
 
-def build_ell(M, dtype, width: int | None = None, percentile: float = 99.5) -> EllMat:
+def build_ell(M, dtype, width: int | None = None, percentile: float = 99.5,
+              pad_rows_to: int = 1) -> EllMat:
     """Host-side ELL(+tail) build from any scipy sparse matrix.
 
     Returns an EllMat of NUMPY arrays already in their final dtypes —
@@ -58,15 +67,23 @@ def build_ell(M, dtype, width: int | None = None, percentile: float = 99.5) -> E
     the max row width and the ``percentile`` row width is used, except that
     near-uniform matrices (padding <= 25%) take the full width and an empty
     tail.
+
+    ``pad_rows_to``: round the panel row count (and tail length) up to a
+    multiple of this — jax.device_put requires explicitly sharded axes to
+    divide evenly by the mesh size, so sharded operators pad to it.  Padding
+    rows are all-zero (cols 0) and tail padding is (row 0, col 0, val 0):
+    no-ops under :func:`matvec`, whose output is sliced back to the true
+    row count.
     """
     A = M.tocsr()
     A.sum_duplicates()
     A.sort_indices()
     n = A.shape[0]
+    pad = lambda k: -(-k // pad_rows_to) * pad_rows_to
     counts = np.diff(A.indptr)
     nnz = int(A.indices.size)
     if n == 0 or nnz == 0:
-        z = np.zeros((n, 1))
+        z = np.zeros((1, pad(max(n, 1))))
         return EllMat(z.astype(np.int32), z.astype(dtype),
                       np.zeros(0, np.int32), np.zeros(0, np.int32),
                       np.zeros(0, dtype))
@@ -80,32 +97,86 @@ def build_ell(M, dtype, width: int | None = None, percentile: float = 99.5) -> E
     rows_all = np.repeat(np.arange(n, dtype=np.int64), counts)
     pos = np.arange(nnz, dtype=np.int64) - np.repeat(A.indptr[:-1], counts)
     in_ell = pos < w
-    cols = np.zeros((n, w), np.int32)
-    vals = np.zeros((n, w), dtype)
-    cols[rows_all[in_ell], pos[in_ell]] = A.indices[in_ell]
-    vals[rows_all[in_ell], pos[in_ell]] = A.data[in_ell]
+    cols = np.zeros((w, pad(n)), np.int32)
+    vals = np.zeros((w, pad(n)), dtype)
+    cols[pos[in_ell], rows_all[in_ell]] = A.indices[in_ell]
+    vals[pos[in_ell], rows_all[in_ell]] = A.data[in_ell]
     tail = ~in_ell
-    return EllMat(
-        cols, vals,
-        rows_all[tail].astype(np.int32),
-        A.indices[tail].astype(np.int32),
-        A.data[tail].astype(dtype),
-    )
+    t = int(tail.sum())
+    tp = pad(t) if t else 0
+    tr = np.zeros(tp, np.int32)
+    tc = np.zeros(tp, np.int32)
+    tv = np.zeros(tp, dtype)
+    # padding goes at the FRONT (row 0, val 0) so the tail stays row-sorted
+    # for segment_sum(indices_are_sorted=True)
+    tr[tp - t:] = rows_all[tail]
+    tc[tp - t:] = A.indices[tail]
+    tv[tp - t:] = A.data[tail]
+    return EllMat(cols, vals, tr, tc, tv)
 
 
-def matvec(m: EllMat, x: jnp.ndarray) -> jnp.ndarray:
-    """y = M @ x (shape: (n_rows,)); jit-safe, tail presence is static."""
-    y = jnp.sum(m.vals * x[m.cols], axis=1)
+def matvec(m: EllMat, x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
+    """y = M @ x; jit-safe, tail presence is static.
+
+    ``n_out``: the true output length when the panel rows are padded
+    (build_ell pad_rows_to) AND the matrix is rectangular — for square
+    operators it defaults to len(x), which is always the true count (padding
+    rows are all-zero, so slicing them off loses nothing)."""
+    n = x.shape[0] if n_out is None else n_out
+    y = jnp.sum(m.vals * x[m.cols], axis=0)[:n]
     if m.tail_rows.shape[0]:
         y = y + jax.ops.segment_sum(
             m.tail_vals * x[m.tail_cols], m.tail_rows,
-            num_segments=m.n_rows, indices_are_sorted=True,
+            num_segments=n, indices_are_sorted=True,
         )
     return y
 
 
-def device_put_tree(tree):
+def replicated(a, dtype, mesh=None):
+    """Device vector from host array: replicated on ``mesh`` when given
+    (jit inputs must live on the computation's device set), default
+    placement otherwise."""
+    if mesh is None:
+        return jnp.asarray(a, dtype)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    return jax.device_put(np.asarray(a, dtype),
+                          NamedSharding(mesh, PartitionSpec()))
+
+
+def device_put_tree(tree, mesh=None):
     """Transfer every array leaf of ``tree`` in ONE batched jax.device_put
-    (leaves must already be in their final dtypes — see module docstring)."""
+    (leaves must already be in their final dtypes — see module docstring).
+
+    With a 1-D ``jax.sharding.Mesh``, each leaf's LARGEST axis is sharded
+    when it splits evenly and is large enough (>= 2 rows/device) — the row
+    partition of every operator (EllMat (w, n) panels shard their n axis,
+    1-D index tables their length).  The jitted solves themselves are
+    unchanged: GSPMD propagates the sharding through gather/segment-sum
+    matvecs, all-gathers x once per matvec, and psums the CG dot products —
+    the standard distributed-SpMV schedule, expressed as data placement
+    only.  jax.device_put requires the sharded axis to divide evenly;
+    panels meant to shard are padded at build time (build_ell pad_rows_to),
+    and since the consumers are plain jit (no shard_map) any placement is
+    semantically transparent, so "shard iff divisible" is always safe."""
     leaves, treedef = jax.tree_util.tree_flatten(tree)
-    return jax.tree_util.tree_unflatten(treedef, jax.device_put(leaves))
+    if mesh is None:
+        return jax.tree_util.tree_unflatten(treedef, jax.device_put(leaves))
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    axis = mesh.axis_names[0]
+    repl = NamedSharding(mesh, PartitionSpec())
+
+    def sharding(leaf):
+        shape = np.shape(leaf)
+        if not shape:
+            return repl
+        k = int(np.argmax(shape))
+        if shape[k] >= 2 * mesh.size and shape[k] % mesh.size == 0:
+            spec = [None] * len(shape)
+            spec[k] = axis
+            return NamedSharding(mesh, PartitionSpec(*spec))
+        return repl
+
+    out = jax.device_put(leaves, [sharding(l) for l in leaves])
+    return jax.tree_util.tree_unflatten(treedef, out)

@@ -262,11 +262,16 @@ class CRPath:
     """Prepared CR operators for one conforming (mesh, surface) pair."""
 
     def __init__(self, mesh: TetMesh, surface_faces: np.ndarray, dtype=jnp.float64,
-                 cr_ops=None):
+                 cr_ops=None, device_mesh=None):
+        """``device_mesh``: optional 1-D jax.sharding.Mesh — operator rows
+        are sharded across it and the face solves run as distributed SpMV
+        under GSPMD (ell.device_put_tree)."""
         self.mesh = mesh
+        self.device_mesh = device_mesh
         self.nf = nf = mesh.n_faces
         self.surface_faces = np.asarray(surface_faces, dtype=np.int64)
         np_dtype = np.dtype(dtype)
+        pad = device_mesh.size if device_mesh is not None else 1
         # cr_ops: pre-built (e.g. disk-cached) operator arrays
         cr = cr_ops if cr_ops is not None else fem.build_cr_operators(mesh)
         self.cr = cr
@@ -294,12 +299,10 @@ class CRPath:
         # batched put (per-array converting puts cost seconds each over the
         # remote-TPU tunnel; ell.py module docstring)
         arrays = dict(
-            L=ell.build_ell(self._H, np_dtype),
+            L=ell.build_ell(self._H, np_dtype, pad_rows_to=pad),
             diag=diag.astype(np_dtype),
-            P=ell.build_ell(P, np_dtype),
+            P=ell.build_ell(P, np_dtype, pad_rows_to=pad),
             p_diag=p_diag.astype(np_dtype),
-            # M A phi_face -> vertices uses A^T M
-            AtM=ell.build_ell((A.T @ M).tocsr(), np_dtype),
         )
         # divergence in gather form: (nf, 2) incident tets + signed normals
         counts = np.bincount(cr.div_faces, minlength=nf)
@@ -320,7 +323,7 @@ class CRPath:
         mask[self.surface_faces] = 0.0
         arrays["surf_mask"] = mask
         self._mask64 = mask.astype(np.float64)
-        self.arrays = ell.device_put_tree(arrays)
+        self.arrays = ell.device_put_tree(arrays, device_mesh)
         self.dtype = dtype
         self.last_stats = {}
 
@@ -332,7 +335,8 @@ class CRPath:
                 H = amg.masked_operator(self._H, mask)
             else:
                 H = self._H
-            self._amg_cache[mode] = amg.build_hierarchy(H, self.dtype)
+            self._amg_cache[mode] = amg.build_hierarchy(H, self.dtype,
+                                                        mesh=self.device_mesh)
         return self._amg_cache[mode]
 
     def integrate(self, Y, options: SignedHeatOptions, src_face_components=None,
@@ -356,7 +360,7 @@ class CRPath:
         cost = hierarchy_iter_cost(h)
         mg = (h.levels, h.coarse_inv)
         H64 = self._H
-        zeros = jnp.zeros(nf, self.dtype)
+        zeros = ell.replicated(np.zeros(nf), self.dtype, self.device_mesh)
         if mode == LevelSetConstraint.ZERO_SET:
             m64 = self._mask64
             b64 = m64 * div64
@@ -366,7 +370,8 @@ class CRPath:
                     b, x0, a["L"], a["diag"], a["surf_mask"], *mg, s,
                     tol=tol, chunk=c, mg_sizes=h.sizes),
                 zeros, tol, maxiter, iter_cost=cost)
-            phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options)
+            phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options,
+                                              device_mesh=self.device_mesh)
         elif mode == LevelSetConstraint.MULTIPLE:
             labels = np.asarray(src_face_components)
             _, gids = np.unique(labels, return_inverse=True)
@@ -392,7 +397,8 @@ class CRPath:
                     gparts["elems"], gparts["gids"], gparts["winv"], *mg, s,
                     n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes),
                 zeros, tol, maxiter, iter_cost=cost)
-            phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options)
+            phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options,
+                                              device_mesh=self.device_mesh)
             phi_f = phi_f - self._face_shift64(phi_f, src_face_areas)
         else:
             b64 = div64 - div64.mean()
@@ -402,7 +408,8 @@ class CRPath:
                     b, x0, a["L"], a["diag"], *mg, s,
                     tol=tol, chunk=c, mg_sizes=h.sizes),
                 zeros, tol, maxiter, iter_cost=cost)
-            phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options)
+            phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options,
+                                              device_mesh=self.device_mesh)
             phi_f = phi_f - self._face_shift64(phi_f, src_face_areas)
 
         # L2 projection to vertices: (A^T M A + shift I) w = A^T M phi_f
@@ -414,9 +421,10 @@ class CRPath:
             lambda x0, c, s: _project_chunk(
                 b, x0, a["P"], a["p_diag"], s,
                 tol=tol, chunk=c, shift=shift),
-            jnp.zeros(nv, self.dtype), tol, maxiter,
+            ell.replicated(np.zeros(nv), self.dtype, self.device_mesh), tol, maxiter,
             iter_cost=2 * a["P"].vals.size)
-        w, it2, r2 = _refined_solve(runp, host_opp, b64p, self.dtype, options)
+        w, it2, r2 = _refined_solve(runp, host_opp, b64p, self.dtype, options,
+                                      device_mesh=self.device_mesh)
         self.last_stats = {"iters": int(it1), "residual": float(r1),
                            "proj_iters": int(it2), "proj_residual": float(r2)}
         if self._proj_weak.size:

@@ -247,7 +247,7 @@ def _run_chunked(chunk_fn, x0, tol: float, maxiter: int, chunk: Optional[int] = 
     return x, total, resid
 
 
-def _refined_solve(run, host_op, b64, dtype, options, tm=None):
+def _refined_solve(run, host_op, b64, dtype, options, tm=None, device_mesh=None):
     """Mixed-precision solve of A x = b with f64 defect correction.
 
     ``run(b_device)`` performs one full chunked device solve of
@@ -261,9 +261,13 @@ def _refined_solve(run, host_op, b64, dtype, options, tm=None):
     device solves — the tet-path analog of the grid solver's defect
     correction (solvers/grid.py _refine).
 
+    ``device_mesh``: place right-hand sides on that mesh (replicated) so the
+    sharded-operator solves receive co-located inputs.
+
     Returns (x64, iters_total, rel_res_f64)."""
     b64 = np.asarray(b64, np.float64)
-    x, iters, res = run(jnp.asarray(b64, dtype))
+    put = lambda a: ell.replicated(a, dtype, device_mesh)
+    x, iters, res = run(put(b64))
     x64 = np.asarray(x, np.float64)
     total = int(iters)
     rel = float(res)
@@ -274,7 +278,7 @@ def _refined_solve(run, host_op, b64, dtype, options, tm=None):
             rel = float(np.linalg.norm(r64)) / bnorm
             if not np.isfinite(rel) or rel <= options.refine_target:
                 break
-            d, it2, _ = run(jnp.asarray(r64, dtype))
+            d, it2, _ = run(put(r64))
             x64 = x64 + np.asarray(d, np.float64)
             total += int(it2)
         rel = float(np.linalg.norm(b64 - host_op(x64))) / bnorm
@@ -528,7 +532,8 @@ class SignedHeatTetSolver:
             from .cr_solver import CRPath
 
             cr_ops = group("crop_", fem.CROperators)
-            cr_path = CRPath(mesh, arrays["cr_surf_ids"], dtype=dtype, cr_ops=cr_ops)
+            cr_path = CRPath(mesh, arrays["cr_surf_ids"], dtype=dtype, cr_ops=cr_ops,
+                             device_mesh=self.mesh)
             cr_face_components = arrays["cr_face_components"]
             cr_face_areas = arrays["cr_face_areas"]
         H_scipy = (-dual.to_scipy()).tocsr()  # positive (semi)definite
@@ -544,12 +549,15 @@ class SignedHeatTetSolver:
         labels = arrays["src_labels"]
         comp_root, comp_member = _component_rows(labels, mesh.src_vertex)
         np_dtype = np.dtype(dtype)
-        # final dtypes on host, one batched transfer (ell.py module docstring)
+        # final dtypes on host, one batched transfer (ell.py module
+        # docstring); with a device mesh the operator rows are sharded and
+        # GSPMD runs Step 3 as distributed SpMV (VERDICT r1 item 7)
         device = ell.device_put_tree(dict(
             barys=np.asarray(mesh.barycenters(), np_dtype),
             points=arrays["points"].astype(np_dtype),
             vectors=arrays["vectors"].astype(np_dtype),
-            H_ell=ell.build_ell(H_scipy, np_dtype),
+            H_ell=ell.build_ell(H_scipy, np_dtype,
+                                pad_rows_to=self.mesh.size if self.mesh else 1),
             div_rows=np.asarray(dual.div_rows, np.int32),
             div_tets=np.asarray(dual.div_tets, np.int32),
             div_gvec=np.asarray(dual.div_gvec, np_dtype),
@@ -557,7 +565,7 @@ class SignedHeatTetSolver:
             dual_areas=arrays["dual_areas"].astype(np_dtype),
             comp_root=np.asarray(comp_root, np.int32),
             comp_member=np.asarray(comp_member, np.int32),
-        ))
+        ), self.mesh)
         return dict(
             mesh=mesh,
             cr_path=cr_path,
@@ -571,8 +579,7 @@ class SignedHeatTetSolver:
             **device,
         )
 
-    @staticmethod
-    def _hierarchy(cached, mode, n_src: int, dtype):
+    def _hierarchy(self, cached, mode, n_src: int, dtype):
         """Per-mode SA-AMG hierarchy for the vertex (dual-Laplacian) solves
         (operator-cache artifact; shm3d.solve.amg)."""
         if mode not in cached["amg"]:
@@ -581,7 +588,7 @@ class SignedHeatTetSolver:
                 mask = np.ones(H.shape[0])
                 mask[:n_src] = 0.0
                 H = amg.masked_operator(H, mask)
-            cached["amg"][mode] = amg.build_hierarchy(H, dtype)
+            cached["amg"][mode] = amg.build_hierarchy(H, dtype, mesh=self.mesh)
         return cached["amg"][mode]
 
     def _integrate(self, Y, mesh, geom, cached, options, tm):
@@ -598,7 +605,7 @@ class SignedHeatTetSolver:
         cost = hierarchy_iter_cost(h)
         H64 = cached["H_scipy"]
         div64 = np.asarray(div, np.float64)
-        zeros = jnp.zeros(n, dtype)
+        zeros = ell.replicated(np.zeros(n), dtype, self.mesh)
         if mode == LevelSetConstraint.ZERO_SET:
             mask64 = np.ones(n)
             mask64[:mesh.n_src] = 0.0
@@ -609,7 +616,8 @@ class SignedHeatTetSolver:
                     b, x0, *op, *mg, s, n=n, n_src=mesh.n_src, tol=tol,
                     chunk=c, mg_sizes=h.sizes),
                 zeros, tol, maxiter, iter_cost=cost)
-            phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm)
+            phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
+                                               device_mesh=self.mesh)
             phi = jnp.asarray(phi, dtype)
         elif mode == LevelSetConstraint.MULTIPLE:
             sv = np.asarray(mesh.src_vertex)
@@ -636,7 +644,8 @@ class SignedHeatTetSolver:
                     gparts["elems"], gparts["gids"], gparts["winv"], *mg, s,
                     n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes),
                 zeros, tol, maxiter, iter_cost=cost)
-            x, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm)
+            x, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
+                                               device_mesh=self.mesh)
             phi = self._shift(jnp.asarray(x, dtype), mesh, cached)
         else:
             b64 = -div64
@@ -646,7 +655,8 @@ class SignedHeatTetSolver:
                 lambda x0, c, s: _none_chunk(
                     b, x0, *op, *mg, s, n=n, tol=tol, chunk=c, mg_sizes=h.sizes),
                 zeros, tol, maxiter, iter_cost=cost)
-            phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm)
+            phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
+                                               device_mesh=self.mesh)
             phi = self._shift(jnp.asarray(phi, dtype), mesh, cached)
         tm.note(f"krylov iters={int(iters)} rel_res={float(res):.2e}")
         self.last_stats.update(iters=int(iters), residual=float(res))

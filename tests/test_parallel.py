@@ -163,3 +163,35 @@ def test_tet_solver_ring_matches_single_device(small_icosphere):
     ringed = SignedHeatTetSolver(mesh=device_mesh(8)).compute_distance(small_icosphere, opts)
     rel = np.linalg.norm(ringed.phi - single.phi) / np.linalg.norm(single.phi)
     assert rel < 1e-12, f"rel {rel}"
+
+
+def test_tet_cr_sharded_step3_matches_single_device():
+    """Sharded tet Step 3 (VERDICT r1 item 7): with a device mesh the CR
+    face solve's operators are row-sharded (ell.device_put_tree) and GSPMD
+    runs the AMG-PCG iteration as distributed SpMV.  Must equal the
+    single-device solve on real scan geometry routed through CRPath."""
+    import os
+
+    from shm3d.config import SignedHeatOptions
+    from shm3d.io.mesh_io import read_geometry
+    from shm3d.parallel import device_mesh
+    from shm3d.tet import native
+    from shm3d.tet.solver import SignedHeatTetSolver
+
+    if not native.conforming_available():
+        import pytest
+
+        pytest.skip("native lib absent")
+    geom = read_geometry(os.path.join(os.path.dirname(__file__), "data",
+                                      "bunny_dec.obj"))
+    opts = SignedHeatOptions(dtype="float64", disk_cache=False)
+    single = SignedHeatTetSolver().compute_distance(geom, opts)
+    assert single.mesh.conforming
+    sharded_solver = SignedHeatTetSolver(mesh=device_mesh(8))
+    sharded = sharded_solver.compute_distance(geom, opts)
+    assert sharded_solver.last_stats["step3_path"] == "crouzeix-raviart"
+    rel = np.linalg.norm(sharded.phi - single.phi) / np.linalg.norm(single.phi)
+    # not bitwise: the ring Step 1 sums sources in a different order, and
+    # both solves only converge to solver_tol; 1e-6 still catches any
+    # placement/collective bug (those produce O(1) errors)
+    assert rel < 1e-6, f"rel {rel}"
