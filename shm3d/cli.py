@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-phi", metavar="PATH", help="write phi as .npy")
     p.add_argument("--export-vtk", metavar="PATH",
                    help="write the solved volume as legacy VTK (ParaView)")
+    p.add_argument("--view", action="store_true",
+                   help="interactive polyscope viewer (optional dependency; "
+                        "the reference app's GUI, main.cpp:130-294). Solves "
+                        "once, then re-solve/contour/export from the UI")
     p.add_argument("--json", action="store_true", help="print a JSON summary line")
     p.add_argument("--profile", metavar="LOGDIR",
                    help="write a jax.profiler trace of the solve to LOGDIR "
@@ -117,6 +121,16 @@ def main(argv=None) -> int:
 
         mesh = device_mesh(args.devices)
     solver = SignedHeatSolver("grid" if args.grid else "tet", mesh=mesh)
+
+    if args.view:
+        from .io.viewer import launch_viewer
+
+        try:
+            launch_viewer(geom, solver, options, input_name=args.input)
+        except RuntimeError as e:
+            print(f"shm3d: {e}", file=sys.stderr)
+            return 2
+        return 0
 
     from .utils.timing import profiler_trace
 
