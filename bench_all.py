@@ -36,6 +36,11 @@ def _solve_config(name, asset, domain, opts_kw, warm_runs=3):
     from shm3d.api import SignedHeatSolver
     from shm3d.config import SignedHeatOptions
     from shm3d.io.mesh_io import read_geometry
+    from shm3d.utils.jaxcache import enable_compilation_cache
+
+    # same persistent-XLA-cache policy as bench.py: fresh processes reuse
+    # compiled programs from disk instead of paying tunnel compiles again
+    enable_compilation_cache()
 
     path = os.path.join(DATA, asset)
     if not os.path.exists(path):

@@ -42,16 +42,16 @@ def _block_update(q, sp, sv, lam, m, acc):
     return m_new, acc * rescale + contrib
 
 
-def _ring_body(q, sp, sv, lam, axis_name: str, normalize: bool, q_tile: int):
-    """Per-device program: rotate source shards around ``axis_name``.
+def _ring_pass(qr, m, acc, sp, sv, lam, axis_name: str):
+    """One full rotation over ``axis_name``: the resident queries ``qr``
+    absorb every (sp, sv) shard on this ring, and the shards end up back on
+    their home device (n hops of a ring permute).
 
-    Queries are streamed in ``q_tile``-row tiles (lax.map) so the per-hop
+    Queries are streamed in tiles (lax.map) so the per-hop
     (Q_local x S_local) score block never materializes — at 128^3 over 8
     devices the untiled block would be ~7 GB."""
     n = jax.lax.axis_size(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
-    T = q.shape[0] // q_tile
-    qr = q.reshape(T, q_tile, 3)
 
     def step(carry, _):
         m, acc, sp_cur, sv_cur = carry
@@ -65,17 +65,64 @@ def _ring_body(q, sp, sv, lam, axis_name: str, normalize: bool, q_tile: int):
         sv_nxt = jax.lax.ppermute(sv_cur, axis_name, perm)
         return (m, acc, sp_nxt, sv_nxt), None
 
-    m0 = jnp.full((T, q_tile, 1), _BIG, dtype=q.dtype)
-    acc0 = jnp.zeros((T, q_tile, 3), dtype=q.dtype)
-    # mark the device-invariant initial carry as device-varying for the scan
-    m0 = jax.lax.pcast(m0, (axis_name,), to="varying")
-    acc0 = jax.lax.pcast(acc0, (axis_name,), to="varying")
-    (m, acc, _, _), _ = jax.lax.scan(step, (m0, acc0, sp, sv), None, length=n)
+    (m, acc, sp, sv), _ = jax.lax.scan(step, (m, acc, sp, sv), None, length=n)
+    return m, acc, sp, sv
+
+
+def _finalize(m, acc, normalize: bool):
     m = m.reshape(-1, 1)
     acc = acc.reshape(-1, 3)
     if normalize:
         return acc / jnp.sqrt(jnp.sum(acc * acc, axis=1, keepdims=True))
     return acc * jnp.exp(-m)
+
+
+def _init_carry(q, q_tile: int, axis_names):
+    T = q.shape[0] // q_tile
+    qr = q.reshape(T, q_tile, 3)
+    m0 = jnp.full((T, q_tile, 1), _BIG, dtype=q.dtype)
+    acc0 = jnp.zeros((T, q_tile, 3), dtype=q.dtype)
+    # mark the device-invariant initial carry as device-varying for the scan
+    m0 = jax.lax.pcast(m0, tuple(axis_names), to="varying")
+    acc0 = jax.lax.pcast(acc0, tuple(axis_names), to="varying")
+    return qr, m0, acc0
+
+
+def _ring_body(q, sp, sv, lam, axis_name: str, normalize: bool, q_tile: int):
+    """Per-device program, 1-D mesh: one ring pass over ``axis_name``."""
+    qr, m0, acc0 = _init_carry(q, q_tile, (axis_name,))
+    m, acc, _, _ = _ring_pass(qr, m0, acc0, sp, sv, lam, axis_name)
+    return _finalize(m, acc, normalize)
+
+
+def _ring_body_hier(q, sp, sv, lam, inner_axis: str, outer_axis: str,
+                    normalize: bool, q_tile: int):
+    """Per-device program, 2-D mesh (multi-slice): hierarchical ring.
+
+    ``inner_axis`` is the fast intra-slice fabric (ICI), ``outer_axis`` the
+    slow inter-slice link (DCN).  Each outer step runs a complete inner ring
+    pass — every device absorbs all source shards currently resident on its
+    slice, and the shards return home — then forwards the slice's shard to
+    the peer device of the next slice with ONE ppermute over the outer axis.
+    DCN therefore carries n_slices-1 transfers of one local shard each,
+    amortized over an entire slice's worth of compute per transfer (the
+    hierarchical layout the scaling recipe prescribes: frequent hops on ICI,
+    rare hops on DCN)."""
+    n_out = jax.lax.axis_size(outer_axis)
+    perm_out = [(i, (i + 1) % n_out) for i in range(n_out)]
+    qr, m0, acc0 = _init_carry(q, q_tile, (inner_axis, outer_axis))
+
+    def outer(carry, _):
+        m, acc, sp_cur, sv_cur = carry
+        m, acc, sp_cur, sv_cur = _ring_pass(qr, m, acc, sp_cur, sv_cur, lam,
+                                            inner_axis)
+        sp_cur = jax.lax.ppermute(sp_cur, outer_axis, perm_out)
+        sv_cur = jax.lax.ppermute(sv_cur, outer_axis, perm_out)
+        return (m, acc, sp_cur, sv_cur), None
+
+    (m, acc, _, _), _ = jax.lax.scan(outer, (m0, acc0, sp, sv), None,
+                                     length=n_out)
+    return _finalize(m, acc, normalize)
 
 
 def yukawa_field_ring(
@@ -84,18 +131,23 @@ def yukawa_field_ring(
     src_vectors: jnp.ndarray,
     lam,
     mesh: Mesh,
-    axis_name: str = "d",
     normalize: bool = True,
     q_tile: int = 4096,
 ) -> jnp.ndarray:
-    """Ring-scheduled Yukawa field over ``mesh`` (1-D on ``axis_name``).
+    """Ring-scheduled Yukawa field over ``mesh``.
+
+    A 1-D mesh (axes ``("d",)``) runs the flat ICI ring; a 2-D multi-slice
+    mesh (axes ``("s", "d")`` — DCN slice axis major, see
+    shm3d.parallel.device_mesh) runs the hierarchical ring: inner rotations
+    on ICI, one inter-slice forward per inner pass on DCN.
 
     Accepts arbitrary (Q, 3) queries and (S, 3) sources: both are padded
     here to shard evenly (sources with far-away zero-weight entries, queries
     with zeros whose garbage rows are sliced off).  Returns (Q, 3) sharded
     like the queries.  Works inside or outside jit.
     """
-    ndev = mesh.shape[axis_name]
+    axes = tuple(mesh.axis_names)
+    ndev = int(mesh.devices.size)
     dtype = queries.dtype
     Q = queries.shape[0]
     S = src_points.shape[0]
@@ -109,15 +161,23 @@ def yukawa_field_ring(
     Qp = ndev * (-(-Q // (ndev * t))) * t
     qpad = jnp.pad(queries, ((0, Qp - Q), (0, 0))) if Qp != Q else queries
 
-    body = functools.partial(
-        _ring_body, lam=jnp.asarray(lam, dtype), axis_name=axis_name,
-        normalize=normalize, q_tile=t,
-    )
+    lam = jnp.asarray(lam, dtype)
+    if len(axes) == 1:
+        body = functools.partial(
+            _ring_body, lam=lam, axis_name=axes[0],
+            normalize=normalize, q_tile=t,
+        )
+    else:
+        body = functools.partial(
+            _ring_body_hier, lam=lam, inner_axis=axes[-1],
+            outer_axis=axes[0], normalize=normalize, q_tile=t,
+        )
+    spec = P(axes)  # dim 0 sharded over all mesh axes, slice-major
     fn = jax.shard_map(
         lambda q, sp, sv: body(q, sp, sv),
         mesh=mesh,
-        in_specs=(P(axis_name), P(axis_name), P(axis_name)),
-        out_specs=P(axis_name),
+        in_specs=(spec, spec, spec),
+        out_specs=spec,
     )
     out = fn(qpad, src_points, src_vectors)
     return out[:Q]

@@ -26,33 +26,57 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def device_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None) -> Mesh:
-    """1-D mesh over ``n_devices`` (default: all local devices)."""
+def device_mesh(n_devices: Optional[int] = None, devices: Optional[Sequence] = None,
+                n_slices: int = 1) -> Mesh:
+    """Device mesh over ``n_devices`` (default: all local devices).
+
+    ``n_slices == 1``: 1-D mesh, axis ``"d"`` (one ICI domain).
+    ``n_slices > 1``: 2-D multi-slice mesh, axes ``("s", "d")`` — the major
+    ``"s"`` axis crosses slices (DCN), the minor ``"d"`` axis is the fast
+    intra-slice fabric (ICI).  ``jax.devices()`` enumerates devices
+    slice-major (process-major), so a plain reshape lands each mesh row
+    inside one slice.  Collectives ride the cheap axis: the ring rotates
+    sources over ``"d"`` with one ``"s"`` forward per pass
+    (parallel.ring), and the Step-3 z-slab halos touch DCN only at the
+    n_slices-1 slice-boundary planes.
+    """
     if devices is None:
         devices = jax.devices()
         if n_devices is not None:
             devices = devices[:n_devices]
-    return Mesh(np.asarray(devices), ("d",))
+    devices = np.asarray(devices)
+    if n_slices <= 1:
+        return Mesh(devices, ("d",))
+    if devices.size % n_slices:
+        raise ValueError(f"{devices.size} devices not divisible into "
+                         f"{n_slices} slices")
+    return Mesh(devices.reshape(n_slices, -1), ("s", "d"))
+
+
+def _all_axes(mesh: Mesh):
+    """Dim-0 spec entry sharding over every mesh axis (slice-major)."""
+    names = tuple(mesh.axis_names)
+    return names if len(names) > 1 else names[0]
 
 
 def node_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for flat (N,) node vectors: contiguous z-slabs."""
-    return NamedSharding(mesh, P("d"))
+    return NamedSharding(mesh, P(_all_axes(mesh)))
 
 
 def field3_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for (nz, ny, nx) fields: slabs along z."""
-    return NamedSharding(mesh, P("d", None, None))
+    return NamedSharding(mesh, P(_all_axes(mesh), None, None))
 
 
 def field3v_sharding(mesh: Mesh) -> NamedSharding:
     """Sharding for (nz, ny, nx, 3) vector fields."""
-    return NamedSharding(mesh, P("d", None, None, None))
+    return NamedSharding(mesh, P(_all_axes(mesh), None, None, None))
 
 
 def source_sharding(mesh: Mesh) -> NamedSharding:
-    """Sharding for (S, ...) source arrays: rows over the ring axis."""
-    return NamedSharding(mesh, P("d"))
+    """Sharding for (S, ...) source arrays: rows over the ring axes."""
+    return NamedSharding(mesh, P(_all_axes(mesh)))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

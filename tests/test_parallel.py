@@ -195,3 +195,44 @@ def test_tet_cr_sharded_step3_matches_single_device():
     # both solves only converge to solver_tol; 1e-6 still catches any
     # placement/collective bug (those produce O(1) errors)
     assert rel < 1e-6, f"rel {rel}"
+
+
+def test_hierarchical_ring_multislice_matches_single_device():
+    """2-D multi-slice mesh (axes ("s","d"): DCN x ICI): the hierarchical
+    ring — inner ICI rotations, one DCN forward per pass — must produce the
+    same field as the dense single-device kernel."""
+    from shm3d.geometry import sources as src_mod
+
+    src = src_mod.from_mesh(make_icosphere(1))
+    rng = np.random.default_rng(21)
+    q = rng.uniform(-2, 2, size=(256, 3))
+    lam = 2.7
+    qj = jnp.asarray(q)
+    sp = jnp.asarray(src.points)
+    sv = jnp.asarray(src.vectors())
+    expected = yukawa_field_xla(qj, sp, sv, lam)
+
+    for n_slices in (2, 4):
+        mesh2d = device_mesh(8, n_slices=n_slices)
+        assert mesh2d.axis_names == ("s", "d")
+        qs = jax.device_put(qj, node_sharding(mesh2d))
+        sps = jax.device_put(sp, source_sharding(mesh2d))
+        svs = jax.device_put(sv, source_sharding(mesh2d))
+        got = yukawa_field_ring(qs, sps, svs, lam, mesh2d)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                                   rtol=1e-12, atol=1e-13)
+
+
+def test_grid_solver_multislice_matches_single_device(small_icosphere):
+    """GridSolver(mesh=2x4 multi-slice mesh) end-to-end == single device:
+    Step 1 hierarchical ring + Step 3 z-slabs sharded over both axes (halo
+    exchange crosses DCN only at slice-boundary planes)."""
+    from shm3d.config import SignedHeatOptions
+    from shm3d.solvers.grid import GridSolver
+
+    opts = SignedHeatOptions(dtype="float64", h_coef=0.0, disk_cache=False)
+    single = GridSolver().compute_distance(small_icosphere, opts)
+    multi = GridSolver(mesh=device_mesh(8, n_slices=2)).compute_distance(
+        small_icosphere, opts)
+    rel = np.linalg.norm(multi.phi - single.phi) / np.linalg.norm(single.phi)
+    assert rel < 1e-8, f"rel {rel}"
