@@ -60,6 +60,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="run multi-chip over the first N local devices "
                         "(1-D jax.sharding.Mesh; Step 1 ring schedule + "
                         "sharded Step 3; 0 = single device)")
+    p.add_argument("--slices", type=int, default=1, metavar="K",
+                   help="with --devices N: treat the N devices as K slices "
+                        "of N/K chips (2-D mesh; inter-slice DCN axis gets "
+                        "the hierarchical ring + slab-boundary halos only)")
     p.add_argument("--no-disk-cache", action="store_true",
                    help="disable the cross-process operator cache "
                         "($SHM3D_CACHE_DIR)")
@@ -119,7 +123,7 @@ def main(argv=None) -> int:
     if args.devices:
         from .parallel import device_mesh
 
-        mesh = device_mesh(args.devices)
+        mesh = device_mesh(args.devices, n_slices=args.slices)
     solver = SignedHeatSolver("grid" if args.grid else "tet", mesh=mesh)
 
     if args.view:
