@@ -148,10 +148,11 @@ def device_put_tree(tree, mesh=None):
     """Transfer every array leaf of ``tree`` in ONE batched jax.device_put
     (leaves must already be in their final dtypes — see module docstring).
 
-    With a 1-D ``jax.sharding.Mesh``, each leaf's LARGEST axis is sharded
-    when it splits evenly and is large enough (>= 2 rows/device) — the row
-    partition of every operator (EllMat (w, n) panels shard their n axis,
-    1-D index tables their length).  The jitted solves themselves are
+    With a ``jax.sharding.Mesh``, each leaf's LARGEST axis is sharded over
+    ALL mesh axes (slice-major on a 2-D multi-slice mesh, matching
+    parallel.shards) when it splits evenly and is large enough (>= 2
+    rows/device) — the row partition of every operator (EllMat (w, n)
+    panels shard their n axis, 1-D index tables their length).  The jitted solves themselves are
     unchanged: GSPMD propagates the sharding through gather/segment-sum
     matvecs, all-gathers x once per matvec, and psums the CG dot products —
     the standard distributed-SpMV schedule, expressed as data placement
@@ -164,7 +165,8 @@ def device_put_tree(tree, mesh=None):
         return jax.tree_util.tree_unflatten(treedef, jax.device_put(leaves))
     from jax.sharding import NamedSharding, PartitionSpec
 
-    axis = mesh.axis_names[0]
+    names = tuple(mesh.axis_names)
+    axis = names if len(names) > 1 else names[0]
     repl = NamedSharding(mesh, PartitionSpec())
 
     def sharding(leaf):

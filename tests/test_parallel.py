@@ -236,3 +236,17 @@ def test_grid_solver_multislice_matches_single_device(small_icosphere):
         small_icosphere, opts)
     rel = np.linalg.norm(multi.phi - single.phi) / np.linalg.norm(single.phi)
     assert rel < 1e-8, f"rel {rel}"
+
+
+def test_tet_solver_multislice_matches_single_device(small_icosphere):
+    """SignedHeatTetSolver over a 2-slice mesh: hierarchical ring Step 1 +
+    ELL operators row-sharded over both mesh axes."""
+    from shm3d.config import SignedHeatOptions
+    from shm3d.tet.solver import SignedHeatTetSolver
+
+    opts = SignedHeatOptions(dtype="float64", disk_cache=False)
+    single = SignedHeatTetSolver().compute_distance(small_icosphere, opts)
+    multi = SignedHeatTetSolver(mesh=device_mesh(8, n_slices=2)).compute_distance(
+        small_icosphere, opts)
+    rel = np.linalg.norm(multi.phi - single.phi) / np.linalg.norm(single.phi)
+    assert rel < 1e-10, f"rel {rel}"
