@@ -80,6 +80,10 @@ def _solve_config(name, asset, domain, opts_kw, warm_runs=3):
             "n_dof": n_dof,
             "phi_range": [round(float(phi.min()), 5), round(float(phi.max()), 5)],
             "step3_path": solver.last_stats.get("step3_path"),
+            # warm per-phase split (from the final warm run): Step 1 vs
+            # Step 3 attribution at scale (VERDICT r1 weak #7)
+            "phases_s": {k: round(v, 4) for k, v in
+                         solver.last_stats.get("phases", {}).items()},
         },
     }
 

@@ -621,6 +621,8 @@ class GridSolver:
                 phi.block_until_ready()  # the solve is done; only transfers remain
         checks.check_finite("grid phi", phi)
 
+        # per-phase wall clock (Step 1 vs Step 3 split at scale; SURVEY §5.1)
+        self.last_stats["phases"] = tm.as_dict()
         return GridResult(phi, grid, Y, u_dev=u_dev)
 
     def _refine(self, u, Y, cached, grid, is_mesh, options, tm=None):

@@ -424,6 +424,8 @@ class SignedHeatTetSolver:
 
         phi_host = np.asarray(phi, dtype=np.float64)
         checks.check_finite("tet phi", phi_host)
+        # per-phase wall clock (Step 1 vs Step 3 split at scale; SURVEY §5.1)
+        self.last_stats["phases"] = tm.as_dict()
         return TetResult(phi_host, mesh, np.asarray(Y, np.float64))
 
     # -- internals
