@@ -26,26 +26,35 @@ hundred rows, f32-safe to apply because the hierarchy conditions it.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import ell
+from ..utils import treestore
 
 
+@treestore.register
 class AMGLevel(NamedTuple):
-    A: ell.EllMat               # operator A_l (n_l x n_l)
+    A: Optional[ell.EllMat]     # operator A_l (n_l x n_l); None at level 0
+                                # when the caller's solve matvec is reused
+                                # (make_preconditioner_parts matvec0) — the
+                                # level-0 panel would duplicate the solve
+                                # operator (250 MB at knot scale)
     inv_diag: jnp.ndarray       # 1 / diag(A_l)
     P: ell.EllMat               # prolongation (n_l x n_c)
     PT: ell.EllMat              # restriction P^T (n_c x n_l)
 
 
+@treestore.register
 class AMGHierarchy(NamedTuple):
     levels: Tuple[AMGLevel, ...]
     coarse_inv: jnp.ndarray     # dense (pseudo)inverse of the coarsest A
     sizes: Tuple[int, ...]      # static per-level sizes (incl. coarsest)
+    l0_nnz: int = 0             # level-0 operator nnz (iter-cost accounting
+                                # when levels[0].A is None)
 
 
 def _aggregate(A, theta: float) -> np.ndarray:
@@ -226,47 +235,61 @@ def _filter_operator(A, drop_tol: float):
     return out
 
 
-def build_hierarchy(
+def build_hierarchy_host(
     H, dtype, theta: float = 0.08, max_coarse: int = 192, max_levels: int = 12,
-    p_keep: int = 4, drop_tol: float = 0.02, mesh=None,
+    p_keep: int = 4, drop_tol: float = 0.02, pad_rows_to: int = 1,
+    first_P=None, skip_level0_A: bool = False,
 ) -> AMGHierarchy:
-    """Host-side SA-AMG setup for SPD (or semi-definite) sparse ``H``.
+    """Host-side SA-AMG setup for SPD (or semi-definite) sparse ``H``;
+    returns NUMPY-leaf arrays (a persistable operator-cache artifact — see
+    utils/treestore) to be shipped with :func:`hierarchy_to_device`.
 
     Prolongators are truncated to ``p_keep`` entries/row and coarse Galerkin
     operators filtered at ``drop_tol`` (both row-sum preserving) so every
     level stays narrow in ELL form — on TPU the V-cycle's cost is gathered
-    elements, not flops.  Returns device-resident ELL arrays, shipped with
-    ONE batched transfer (per-array dtype-converting puts cost seconds each
-    over the remote-TPU tunnel — ell.py module docstring); an operator-cache
-    artifact (built once per discretization, reused across solves)."""
+    elements, not flops.
+
+    ``first_P``: optional explicit level-0 prolongator (CSR, n x nc) — used
+    by the CR face solves to coarsen faces -> mesh vertices geometrically
+    (the 1/3-averaging matrix), a ~10x first-step coarsening with
+    mesh-aware interpolation that SA aggregation cannot discover.
+    ``skip_level0_A``: store None for level 0's operator panel; the caller
+    passes its own solve matvec to make_preconditioner_parts (saves a
+    duplicate of the largest operator on disk/HBM/transfer)."""
     import scipy.sparse as sp
 
     np_dtype = np.dtype(dtype)
     A = H.tocsr().astype(np.float64)
+    l0_nnz = int(A.nnz)
     levels = []
     sizes = [A.shape[0]]
+    pad = pad_rows_to
     while A.shape[0] > max_coarse and len(levels) < max_levels:
         n = A.shape[0]
-        agg = _aggregate(A, theta)
-        nc = int(agg.max()) + 1
-        if nc >= n or nc == 0:  # aggregation stalled (e.g. diagonal matrix)
-            break
-        kept = agg >= 0
-        T = sp.csr_matrix(
-            (np.ones(int(kept.sum())), (np.flatnonzero(kept), agg[kept])),
-            shape=(n, nc),
-        )
         d = np.asarray(A.diagonal())
         d = np.where(np.abs(d) > 0, d, 1.0)
-        omega = 4.0 / (3.0 * _rho_dinv_a(A, d))
-        P = (T - sp.diags(omega / d) @ (A @ T)).tocsr()
-        P = _truncate_prolongator(P, p_keep)
+        if len(levels) == 0 and first_P is not None:
+            P = first_P.tocsr()
+        else:
+            agg = _aggregate(A, theta)
+            nc = int(agg.max()) + 1
+            if nc >= n or nc == 0:  # aggregation stalled (e.g. diagonal matrix)
+                break
+            kept = agg >= 0
+            T = sp.csr_matrix(
+                (np.ones(int(kept.sum())), (np.flatnonzero(kept), agg[kept])),
+                shape=(n, nc),
+            )
+            omega = 4.0 / (3.0 * _rho_dinv_a(A, d))
+            P = (T - sp.diags(omega / d) @ (A @ T)).tocsr()
+            P = _truncate_prolongator(P, p_keep)
         Ac = _filter_operator((P.T @ A @ P).tocsr(), drop_tol)
         Ac.sum_duplicates()
 
-        pad = mesh.size if mesh is not None else 1
+        A_panel = (None if (skip_level0_A and len(levels) == 0)
+                   else ell.build_ell(A, np_dtype, pad_rows_to=pad))
         levels.append(AMGLevel(
-            ell.build_ell(A, np_dtype, pad_rows_to=pad),
+            A_panel,
             (1.0 / d).astype(np_dtype),
             ell.build_ell(P, np_dtype, pad_rows_to=pad),
             ell.build_ell(P.T.tocsr(), np_dtype, pad_rows_to=pad),
@@ -284,25 +307,55 @@ def build_hierarchy(
         # pseudo-inverse tolerates the singular Neumann-mode operators
         # (constant null space); computed in f64, applied in compute dtype
         coarse_inv = np.linalg.pinv(A.toarray(), rcond=1e-10).astype(np_dtype)
-    # with a device mesh, every level's rows are sharded along the same axis
-    # as the level-0 operator (ell.device_put_tree's rule) — the V-cycle then
-    # runs as a chain of distributed SpMVs under GSPMD
-    levels, coarse_inv = ell.device_put_tree((tuple(levels), coarse_inv), mesh)
-    return AMGHierarchy(levels, coarse_inv, tuple(sizes))
+    return AMGHierarchy(tuple(levels), coarse_inv, tuple(sizes), l0_nnz)
 
 
-def make_preconditioner_parts(levels, coarse_inv, sizes, smooth_iters: int = 1):
+def hierarchy_to_device(h: AMGHierarchy, mesh=None) -> AMGHierarchy:
+    """Ship a host hierarchy's arrays in ONE batched transfer.  With a
+    device mesh, every level's rows are sharded along the same axis as the
+    level-0 operator (ell.device_put_tree's rule) — the V-cycle then runs
+    as a chain of distributed SpMVs under GSPMD."""
+    levels, coarse_inv = ell.device_put_tree((h.levels, h.coarse_inv), mesh)
+    return AMGHierarchy(levels, coarse_inv, h.sizes, h.l0_nnz)
+
+
+def build_hierarchy(
+    H, dtype, theta: float = 0.08, max_coarse: int = 192, max_levels: int = 12,
+    p_keep: int = 4, drop_tol: float = 0.02, mesh=None, first_P=None,
+    skip_level0_A: bool = False,
+) -> AMGHierarchy:
+    """Host SA-AMG setup + device shipment (see build_hierarchy_host)."""
+    h = build_hierarchy_host(
+        H, dtype, theta=theta, max_coarse=max_coarse, max_levels=max_levels,
+        p_keep=p_keep, drop_tol=drop_tol,
+        pad_rows_to=mesh.size if mesh is not None else 1,
+        first_P=first_P, skip_level0_A=skip_level0_A,
+    )
+    return hierarchy_to_device(h, mesh)
+
+
+def make_preconditioner_parts(levels, coarse_inv, sizes, smooth_iters: int = 1,
+                              matvec0: Optional[Callable] = None):
     """Symmetric V-cycle preconditioner M ~ H^{-1} (damped-Jacobi smoothing,
     identical pre/post counts — SPD, valid inside CG).
 
     ``levels``/``coarse_inv`` are pytrees of device arrays (jit arguments);
     ``sizes`` must be a static tuple of ints (true per-level lengths — the
-    ELL panels may carry sharding padding rows, sliced off by matvec)."""
+    ELL panels may carry sharding padding rows, sliced off by matvec).
+    ``matvec0``: the level-0 operator application when the hierarchy was
+    built with skip_level0_A (must be the SAME operator the hierarchy was
+    built on, e.g. the masked solve matvec)."""
     omega = 0.67
 
-    def smooth(lvl: AMGLevel, x, b):
+    def mv(level: int, lvl: AMGLevel, x):
+        if lvl.A is None:
+            assert level == 0 and matvec0 is not None, "missing level-0 matvec"
+            return matvec0(x)
+        return ell.matvec(lvl.A, x, n_out=sizes[level])
+
+    def smooth(level: int, lvl: AMGLevel, x, b):
         for _ in range(smooth_iters):
-            r = b - ell.matvec(lvl.A, x)
+            r = b - mv(level, lvl, x)
             x = x + omega * lvl.inv_diag * r
         return x
 
@@ -311,17 +364,19 @@ def make_preconditioner_parts(levels, coarse_inv, sizes, smooth_iters: int = 1):
             return coarse_inv @ b
         lvl = levels[level]
         x = omega * lvl.inv_diag * b  # pre-smooth from zero
-        r = b - ell.matvec(lvl.A, x)
+        r = b - mv(level, lvl, x)
         rc = ell.matvec(lvl.PT, r, n_out=sizes[level + 1])
         xc = cycle(level + 1, rc)
         x = x + ell.matvec(lvl.P, xc, n_out=sizes[level])
-        return smooth(lvl, x, b)
+        return smooth(level, lvl, x, b)
 
     return lambda b: cycle(0, b)
 
 
-def make_preconditioner(h: AMGHierarchy, smooth_iters: int = 1):
-    return make_preconditioner_parts(h.levels, h.coarse_inv, h.sizes, smooth_iters)
+def make_preconditioner(h: AMGHierarchy, smooth_iters: int = 1,
+                        matvec0: Optional[Callable] = None):
+    return make_preconditioner_parts(h.levels, h.coarse_inv, h.sizes,
+                                     smooth_iters, matvec0=matvec0)
 
 
 def masked_operator(H, mask: np.ndarray):

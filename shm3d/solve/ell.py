@@ -35,7 +35,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..utils import treestore
 
+
+@treestore.register
 class EllMat(NamedTuple):
     """Fixed-width sparse matrix, transposed panels: slot j of row i holds
     entry (cols[j, i], vals[j, i]); padded slots have vals == 0 (cols point
@@ -55,6 +58,37 @@ class EllMat(NamedTuple):
     @property
     def width(self) -> int:
         return self.cols.shape[0]
+
+
+@treestore.register
+class CSR64(NamedTuple):
+    """Persistable host-side CSR (f64 data, int32 indices): the exact-
+    operator form the f64 defect-correction passes apply on host
+    (tet/solver._refined_solve).  Plain arrays so utils/treestore can
+    memory-map it straight off disk."""
+
+    data: np.ndarray
+    indices: np.ndarray
+    indptr: np.ndarray
+    n_rows: int
+    n_cols: int
+
+    @staticmethod
+    def from_scipy(M) -> "CSR64":
+        A = M.tocsr()
+        # one index dtype for both arrays: scipy unifies mixed index dtypes
+        # with a copy, which would defeat the memory-mapped load
+        idx = np.int32 if A.nnz < np.iinfo(np.int32).max else np.int64
+        return CSR64(np.asarray(A.data, np.float64),
+                     np.asarray(A.indices, idx),
+                     np.asarray(A.indptr, idx),
+                     int(A.shape[0]), int(A.shape[1]))
+
+    def to_scipy(self):
+        import scipy.sparse as sp
+
+        return sp.csr_matrix((self.data, self.indices, self.indptr),
+                             shape=(self.n_rows, self.n_cols))
 
 
 def build_ell(M, dtype, width: int | None = None, percentile: float = 99.5,

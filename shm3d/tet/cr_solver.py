@@ -71,10 +71,13 @@ def _cr_divergence(Y, div_tets2, div_nvec2):
     return jnp.einsum("fkj,fkj->f", div_nvec2, Y[div_tets2])
 
 
-def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag):
-    """AMG V-cycle when a hierarchy was built, else Jacobi."""
+def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag, matvec0=None):
+    """AMG V-cycle when a hierarchy was built, else Jacobi.  ``matvec0``
+    applies the level-0 operator (hierarchies are built with skip_level0_A,
+    reusing the solve's own operator panel instead of duplicating it)."""
     if mg_sizes:
-        return amg.make_preconditioner_parts(mg_levels, mg_coarse, mg_sizes)
+        return amg.make_preconditioner_parts(mg_levels, mg_coarse, mg_sizes,
+                                             matvec0=matvec0)
     return lambda r: r / diag
 
 
@@ -96,7 +99,8 @@ def _cr_zeroset_chunk(b, x0, L, diag, surf_mask,
     def matvec(x):
         return surf_mask * ell.matvec(L, surf_mask * x) + (1.0 - surf_mask) * x
 
-    precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag)
+    # hierarchy is built on the SAME masked operator -> matvec0 = matvec
+    precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag, matvec0=matvec)
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype),
@@ -115,7 +119,9 @@ def _cr_none_chunk(b, x0, L, diag,
         y = ell.matvec(L, x)
         return y - jnp.mean(y)
 
-    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag)
+    # hierarchy is built on the RAW operator (deflation lives outside it)
+    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag,
+                       matvec0=lambda v: ell.matvec(L, v))
     precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
@@ -159,7 +165,8 @@ def _cr_multiple_chunk(b, x0, L, diag,
         # x stays in the subspace along the recurrence, so P L P x = P (L x)
         return proj(ell.matvec(L, x))
 
-    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag)
+    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag,
+                       matvec0=lambda v: ell.matvec(L, v))
     precond = lambda r: proj(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
@@ -259,47 +266,86 @@ def face_component_rows(surface_faces: np.ndarray, components) -> Tuple[np.ndarr
 
 
 class CRPath:
-    """Prepared CR operators for one conforming (mesh, surface) pair."""
+    """Prepared CR operators for one conforming (mesh, surface) pair.
 
-    def __init__(self, mesh: TetMesh, surface_faces: np.ndarray, dtype=jnp.float64,
-                 cr_ops=None, device_mesh=None):
-        """``device_mesh``: optional 1-D jax.sharding.Mesh — operator rows
+    Construction is split so the expensive host work is a persistable
+    artifact (utils/treestore; VERDICT r2 items 1a/4):
+
+    - :meth:`prepare` (static, host): assembles ALL final-dtype device
+      panels, the host f64 CSR operators for defect correction, and the
+      default-mode (ZeroSet) AMG hierarchy, as a numpy-leaf tree;
+    - ``__init__`` with ``prepared=`` just ships that tree with one batched
+      put and wraps it (milliseconds plus the transfer).
+    """
+
+    def __init__(self, mesh: TetMesh, surface_faces: np.ndarray = None,
+                 dtype=jnp.float64, cr_ops=None, device_mesh=None,
+                 prepared: Optional[dict] = None):
+        """``device_mesh``: optional jax.sharding.Mesh — operator rows
         are sharded across it and the face solves run as distributed SpMV
         under GSPMD (ell.device_put_tree)."""
         self.mesh = mesh
         self.device_mesh = device_mesh
-        self.nf = nf = mesh.n_faces
-        self.surface_faces = np.asarray(surface_faces, dtype=np.int64)
+        if prepared is None:
+            prepared = CRPath.prepare(
+                mesh, surface_faces, dtype, cr_ops=cr_ops,
+                pad=device_mesh.size if device_mesh is not None else 1)
+        self.nf = int(prepared["nf"])
+        self.surface_faces = np.asarray(prepared["surface_faces"], np.int64)
+        self._H = prepared["H_csr"].to_scipy()
+        self._P_scipy = prepared["P_csr"].to_scipy()
+        self._AtM_scipy = prepared["AtM_csr"].to_scipy()
+        self._proj_shift = float(prepared["proj_shift"])
+        self._proj_weak = np.asarray(prepared["proj_weak"])
+        self._mask64 = np.asarray(prepared["ell"]["surf_mask"], np.float64)
+        # ONE batched put for the solve panels + every prepared hierarchy
+        dev = ell.device_put_tree(
+            dict(a=prepared["ell"],
+                 amg={k: (h.levels, h.coarse_inv)
+                      for k, h in prepared["amg"].items()}),
+            device_mesh)
+        self.arrays = dev["a"]
+        self._amg_cache = {
+            LevelSetConstraint(k): amg.AMGHierarchy(
+                lev, cinv, prepared["amg"][k].sizes, prepared["amg"][k].l0_nnz)
+            for k, (lev, cinv) in dev["amg"].items()
+        }
+        self.dtype = dtype
+        self.last_stats = {}
+
+    @staticmethod
+    def prepare(mesh: TetMesh, surface_faces: np.ndarray, dtype,
+                cr_ops=None, pad: int = 1,
+                eager_modes=(LevelSetConstraint.ZERO_SET,)) -> dict:
+        """Host-side CR preparation: numpy-leaf tree (see class docstring).
+        ``eager_modes``: constraint modes whose AMG hierarchies are built
+        (and hence persisted) now; others are built lazily per process."""
         np_dtype = np.dtype(dtype)
-        pad = device_mesh.size if device_mesh is not None else 1
-        # cr_ops: pre-built (e.g. disk-cached) operator arrays
+        nf = mesh.n_faces
+        surface_faces = np.asarray(surface_faces, dtype=np.int64)
         cr = cr_ops if cr_ops is not None else fem.build_cr_operators(mesh)
-        self.cr = cr
-        L = cr.L_scipy()
+        L = cr.L_scipy().tocsr()
         # L_CR is assembled in the positive-(semi)definite convention
         # (diag > 0, annihilates constants) — its diagonal IS the Jacobi
         # scaling.  (A historical -diagonal() here was all-negative and the
         # >0 guard silently degraded Jacobi to identity: 1,896 CG iterations
         # on a 16.6k-face solve.)
-        self._H = L.tocsr()
-        self._amg_cache = {}
         diag = np.asarray(L.diagonal())
         diag = np.where(diag > 0, diag, 1.0)
 
         A = cr.A_scipy()
         M = cr.M_scipy()
-        P = (A.T @ M @ A).tocsr()
-        self._P_scipy = P          # host f64 copies for defect correction
-        self._AtM_scipy = (A.T @ M).tocsr()
+        AtM = (A.T @ M).tocsr()
+        P = (AtM @ A).tocsr()
         p_diag = np.asarray(P.diagonal())
-        self._proj_shift, self._proj_weak = projection_regularization(p_diag)
-        p_diag = np.where(np.abs(p_diag) > 0, p_diag, 1.0) + self._proj_shift
+        proj_shift, proj_weak = projection_regularization(p_diag)
+        p_diag = np.where(np.abs(p_diag) > 0, p_diag, 1.0) + proj_shift
 
         # everything below is built in final dtypes and shipped with ONE
         # batched put (per-array converting puts cost seconds each over the
         # remote-TPU tunnel; ell.py module docstring)
         arrays = dict(
-            L=ell.build_ell(self._H, np_dtype, pad_rows_to=pad),
+            L=ell.build_ell(L, np_dtype, pad_rows_to=pad),
             diag=diag.astype(np_dtype),
             P=ell.build_ell(P, np_dtype, pad_rows_to=pad),
             p_diag=p_diag.astype(np_dtype),
@@ -320,23 +366,40 @@ class CRPath:
         arrays["divn"] = dnvec2
         # surface mask (0 on constrained faces)
         mask = np.ones(nf, np_dtype)
-        mask[self.surface_faces] = 0.0
+        mask[surface_faces] = 0.0
         arrays["surf_mask"] = mask
-        self._mask64 = mask.astype(np.float64)
-        self.arrays = ell.device_put_tree(arrays, device_mesh)
-        self.dtype = dtype
-        self.last_stats = {}
+
+        hierarchies = {}
+        for mode in eager_modes:
+            hierarchies[mode.value] = CRPath._build_hierarchy_host(
+                L, mask.astype(np.float64), mode, np_dtype, pad)
+        return dict(
+            nf=nf,
+            surface_faces=surface_faces,
+            ell=arrays,
+            H_csr=ell.CSR64.from_scipy(L),
+            P_csr=ell.CSR64.from_scipy(P),
+            AtM_csr=ell.CSR64.from_scipy(AtM),
+            proj_shift=float(proj_shift),
+            proj_weak=proj_weak,
+            amg=hierarchies,
+        )
+
+    @staticmethod
+    def _build_hierarchy_host(H, mask64, mode, np_dtype, pad):
+        if mode == LevelSetConstraint.ZERO_SET:
+            H = amg.masked_operator(H, mask64)
+        return amg.build_hierarchy_host(H, np_dtype, pad_rows_to=pad,
+                                        skip_level0_A=True)
 
     def _hierarchy(self, mode):
-        """Per-constraint-mode SA-AMG hierarchy (operator-cache artifact)."""
+        """Per-constraint-mode SA-AMG hierarchy (operator-cache artifact;
+        non-default modes are built lazily per process)."""
         if mode not in self._amg_cache:
-            if mode == LevelSetConstraint.ZERO_SET:
-                mask = np.asarray(self.arrays["surf_mask"], np.float64)
-                H = amg.masked_operator(self._H, mask)
-            else:
-                H = self._H
-            self._amg_cache[mode] = amg.build_hierarchy(H, self.dtype,
-                                                        mesh=self.device_mesh)
+            h = CRPath._build_hierarchy_host(
+                self._H, self._mask64, mode, np.dtype(self.dtype),
+                self.device_mesh.size if self.device_mesh is not None else 1)
+            self._amg_cache[mode] = amg.hierarchy_to_device(h, self.device_mesh)
         return self._amg_cache[mode]
 
     def integrate(self, Y, options: SignedHeatOptions, src_face_components=None,

@@ -48,6 +48,8 @@ from typing import Dict, List, Optional, Set, Tuple
 
 import numpy as np
 
+from ..utils import treestore
+
 # Kuhn decomposition of the unit cube: 6 tets around the diagonal c0-c7,
 # corner id c = i + 2j + 4k; rows ordered for positive volume.
 _KUHN_TETS = np.array(
@@ -77,6 +79,7 @@ def _norm3(v) -> float:
     return math.sqrt(x * x + y * y + z * z)
 
 
+@treestore.register
 @dataclasses.dataclass
 class TetMesh:
     """Array-based tet mesh with the adjacency the solver needs.

@@ -48,7 +48,7 @@ from ..geometry import surface as surf
 from ..io.mesh_io import Mesh, PointCloud
 from ..ops.yukawa import yukawa_field
 from ..solve import amg, ell, krylov
-from ..utils import checks, diskcache, timing
+from ..utils import checks, diskcache, timing, treestore
 from . import fem
 from .mesher import TetMesh, build_tet_domain
 
@@ -105,7 +105,8 @@ def hierarchy_iter_cost(h) -> int:
     (2 operator matvecs + P + P^T per level)."""
     cost = 0
     for i, lvl in enumerate(h.levels):
-        cost += (3 if i == 0 else 2) * lvl.A.vals.size
+        nnz = lvl.A.vals.size if lvl.A is not None else h.l0_nnz
+        cost += (3 if i == 0 else 2) * nnz
         cost += lvl.P.vals.size + lvl.PT.vals.size
     return int(cost)
 
@@ -119,10 +120,13 @@ def _divergence_jit(Y, div_rows, div_tets, div_gvec, n: int):
     return _divergence(Y, div_rows, div_tets, div_gvec, n)
 
 
-def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag):
-    """AMG V-cycle when a hierarchy was built, else Jacobi."""
+def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag, matvec0=None):
+    """AMG V-cycle when a hierarchy was built, else Jacobi.  ``matvec0``
+    applies the level-0 operator (hierarchies are built with skip_level0_A,
+    reusing the solve's own operator panel instead of duplicating it)."""
     if mg_sizes:
-        return amg.make_preconditioner_parts(mg_levels, mg_coarse, mg_sizes)
+        return amg.make_preconditioner_parts(mg_levels, mg_coarse, mg_sizes,
+                                             matvec0=matvec0)
     return lambda r: r / diag
 
 
@@ -146,7 +150,8 @@ def _zeroset_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
     def matvec(x):
         return mask * ell.matvec(H, mask * x) + (1.0 - mask) * x
 
-    precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH)
+    # hierarchy is built on the SAME masked operator -> matvec0 = matvec
+    precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH, matvec0=matvec)
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype),
@@ -164,7 +169,8 @@ def _none_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
         y = ell.matvec(H, x)
         return y - jnp.mean(y)
 
-    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH)
+    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH,
+                       matvec0=lambda v: ell.matvec(H, v))
     precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
@@ -196,7 +202,8 @@ def _multiple_chunk(b, x0, H, diagH,
     def matvec(x):
         return proj(ell.matvec(H, x))
 
-    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH)
+    mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH,
+                       matvec0=lambda v: ell.matvec(H, v))
     precond = lambda r: proj(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
@@ -372,17 +379,19 @@ class SignedHeatTetSolver:
 
             key = (diskcache.geometry_content_hash(geom), options.cache_key(),
                    MESHER_VERSION,
-                   os.environ.get("SHM3D_GRADED", ""))
+                   os.environ.get("SHM3D_GRADED", ""),
+                   self.mesh.size if self.mesh is not None else 1)
             cached = self._cache.get(key)
             if cached is None:
-                arrays = diskcache.load(("tet",) + key) if options.disk_cache else None
-                if arrays is not None:
-                    tm.note("operator cache: disk hit")
+                prepared = (treestore.load_tree(("tetprep",) + key)
+                            if options.disk_cache else None)
+                if prepared is not None:
+                    tm.note("operator cache: disk hit (mmap)")
                 else:
-                    arrays = self._build_host(geom, options)
+                    prepared = self._prepare_host(geom, options)
                     if options.disk_cache:
-                        diskcache.save(("tet",) + key, arrays)
-                cached = self._cached_from_arrays(arrays, dtype)
+                        treestore.save_tree(("tetprep",) + key, prepared)
+                cached = self._to_device(prepared, dtype)
                 self._cache[key] = cached
         mesh: TetMesh = cached["mesh"]
 
@@ -430,12 +439,16 @@ class SignedHeatTetSolver:
 
     # -- internals
 
-    def _build_host(self, geom, options) -> dict:
-        """Full host precompute as plain numpy arrays (the serializable
-        operator-cache artifact; shm3d.utils.diskcache): tet domain, dual
-        Laplacian, CR operators + surface ids, source quadrature, component
-        labels.  AMG hierarchies and scipy wrappers are rebuilt cheaply at
-        load time."""
+    def _prepare_host(self, geom, options) -> dict:
+        """Full host precompute as a persistable numpy-leaf tree
+        (utils/treestore): tet domain, dual Laplacian (device ELL + host f64
+        CSR), CR path preparation (cr_solver.CRPath.prepare), the
+        default-mode AMG hierarchy, source quadrature, component labels —
+        everything in FINAL dtypes, so a disk load is an mmap plus one
+        batched device transfer (VERDICT r2 items 1a/2/4; the round-2
+        artifact stored raw f64 COO arrays and re-derived the rest at load,
+        costing ~61 s + a lazy 104 s in-solve AMG build at knot scale)."""
+        np_dtype = np.dtype(jnp.dtype(options.dtype))
         sources = src_mod.from_geometry(geom)
         is_mesh = isinstance(geom, Mesh)
         if is_mesh and geom.is_triangular:
@@ -493,52 +506,66 @@ class SignedHeatTetSolver:
             if surf_ids is not None:
                 cr_ops = fem.build_cr_operators(mesh)
 
-        arrays = dict(
-            spacing=np.float64(mesh.mean_node_spacing()),
-            points=np.asarray(sources.points, np.float64),
-            vectors=np.asarray(sources.vectors(), np.float64),
-            dual_areas=np.asarray(dual_areas, np.float64),
-            src_labels=np.asarray(labels, np.int64),
+        pad = self.mesh.size if self.mesh is not None else 1
+        H_scipy = (-dual.to_scipy()).tocsr()  # positive (semi)definite
+        diagH = H_scipy.diagonal()
+        diagH = np.where(diagH > 0, diagH, 1.0)
+        labels = np.asarray(labels, np.int64)
+        comp_root, comp_member = _component_rows(labels, mesh.src_vertex)
+        # final dtypes on host, one batched transfer at load (ell.py module
+        # docstring); with a device mesh the operator rows are sharded and
+        # GSPMD runs Step 3 as distributed SpMV (VERDICT r1 item 7)
+        dev = dict(
+            barys=np.asarray(mesh.barycenters(), np_dtype),
+            points=np.asarray(sources.points, np_dtype),
+            vectors=np.asarray(sources.vectors(), np_dtype),
+            H_ell=ell.build_ell(H_scipy, np_dtype, pad_rows_to=pad),
+            div_rows=np.asarray(dual.div_rows, np.int32),
+            div_tets=np.asarray(dual.div_tets, np.int32),
+            div_gvec=np.asarray(dual.div_gvec, np_dtype),
+            diagH=diagH.astype(np_dtype),
+            dual_areas=np.asarray(dual_areas, np_dtype),
+            comp_root=np.asarray(comp_root, np.int32),
+            comp_member=np.asarray(comp_member, np.int32),
         )
-        for f in dataclasses.fields(TetMesh):
-            v = getattr(mesh, f.name)
-            if v is None:
-                continue
-            arrays["mesh_" + f.name] = np.asarray(v)
-        for f in dataclasses.fields(fem.DualLaplacian):
-            arrays["dual_" + f.name] = np.asarray(getattr(dual, f.name))
+        cr_prep = None
         if surf_ids is not None:
-            arrays["cr_surf_ids"] = np.asarray(surf_ids, np.int64)
-            arrays["cr_face_components"] = np.asarray(cr_face_components, np.int64)
-            arrays["cr_face_areas"] = np.asarray(cr_face_areas, np.float64)
-            for f in dataclasses.fields(fem.CROperators):
-                arrays["crop_" + f.name] = np.asarray(getattr(cr_ops, f.name))
-        return arrays
-
-    def _cached_from_arrays(self, arrays: dict, dtype) -> dict:
-        """Device-side operator cache entry from (possibly disk-loaded)
-        host arrays."""
-        def group(prefix, cls):
-            kw = {}
-            for f in dataclasses.fields(cls):
-                k = prefix + f.name
-                if k in arrays:
-                    v = arrays[k]
-                    kw[f.name] = v.item() if np.ndim(v) == 0 else v
-            return cls(**kw)
-
-        mesh = group("mesh_", TetMesh)
-        dual = group("dual_", fem.DualLaplacian)
-        cr_path = cr_face_components = cr_face_areas = None
-        if "cr_surf_ids" in arrays:
             from .cr_solver import CRPath
 
-            cr_ops = group("crop_", fem.CROperators)
-            cr_path = CRPath(mesh, arrays["cr_surf_ids"], dtype=dtype, cr_ops=cr_ops,
-                             device_mesh=self.mesh)
-            cr_face_components = arrays["cr_face_components"]
-            cr_face_areas = arrays["cr_face_areas"]
-        H_scipy = (-dual.to_scipy()).tocsr()  # positive (semi)definite
+            cr_prep = CRPath.prepare(mesh, surf_ids, np_dtype,
+                                     cr_ops=cr_ops, pad=pad)
+        # the vertex path is the DEFAULT Step 3 only when no CR surface was
+        # recovered; build (and persist) its hierarchy eagerly then, so the
+        # solve phase never pays a host AMG setup (greedy mode needs none)
+        vamg = {}
+        if cr_prep is None and not options.fast_integration:
+            mode = options.level_set_constraint
+            Hh = H_scipy
+            if mode == LevelSetConstraint.ZERO_SET:
+                mask = np.ones(Hh.shape[0])
+                mask[:mesh.n_src] = 0.0
+                Hh = amg.masked_operator(Hh, mask)
+            vamg[mode.value] = amg.build_hierarchy_host(
+                Hh, np_dtype, pad_rows_to=pad, skip_level0_A=True)
+        return dict(
+            spacing=float(mesh.mean_node_spacing()),
+            mesh=mesh,
+            src_labels=labels,
+            dev=dev,
+            H_csr=ell.CSR64.from_scipy(H_scipy),
+            cr=cr_prep,
+            cr_face_components=(None if cr_face_components is None
+                                else np.asarray(cr_face_components, np.int64)),
+            cr_face_areas=(None if cr_face_areas is None
+                           else np.asarray(cr_face_areas, np.float64)),
+            vamg=vamg,
+        )
+
+    def _to_device(self, prepared: dict, dtype) -> dict:
+        """Operator-cache entry from a prepared (possibly memory-mapped)
+        tree: scipy wrappers + one batched device transfer."""
+        mesh: TetMesh = prepared["mesh"]
+        H_scipy = prepared["H_csr"].to_scipy()
         if checks.enabled():
             # sanitizer: the segment-sum assembly must stay symmetric
             # (CG assumes it; an asymmetric dedup is silently wrong)
@@ -546,51 +573,46 @@ class SignedHeatTetSolver:
                 "tet dual Laplacian", lambda x: H_scipy @ np.asarray(x),
                 H_scipy.shape[0],
             )
-        diagH = H_scipy.diagonal()
-        diagH = np.where(diagH > 0, diagH, 1.0)
-        labels = arrays["src_labels"]
-        comp_root, comp_member = _component_rows(labels, mesh.src_vertex)
-        np_dtype = np.dtype(dtype)
-        # final dtypes on host, one batched transfer (ell.py module
-        # docstring); with a device mesh the operator rows are sharded and
-        # GSPMD runs Step 3 as distributed SpMV (VERDICT r1 item 7)
         device = ell.device_put_tree(dict(
-            barys=np.asarray(mesh.barycenters(), np_dtype),
-            points=arrays["points"].astype(np_dtype),
-            vectors=arrays["vectors"].astype(np_dtype),
-            H_ell=ell.build_ell(H_scipy, np_dtype,
-                                pad_rows_to=self.mesh.size if self.mesh else 1),
-            div_rows=np.asarray(dual.div_rows, np.int32),
-            div_tets=np.asarray(dual.div_tets, np.int32),
-            div_gvec=np.asarray(dual.div_gvec, np_dtype),
-            diagH=diagH.astype(np_dtype),
-            dual_areas=arrays["dual_areas"].astype(np_dtype),
-            comp_root=np.asarray(comp_root, np.int32),
-            comp_member=np.asarray(comp_member, np.int32),
+            dev=prepared["dev"],
+            vamg={k: (h.levels, h.coarse_inv)
+                  for k, h in prepared["vamg"].items()},
         ), self.mesh)
+        amg_cache = {
+            LevelSetConstraint(k): amg.AMGHierarchy(
+                lev, cinv, prepared["vamg"][k].sizes, prepared["vamg"][k].l0_nnz)
+            for k, (lev, cinv) in device["vamg"].items()
+        }
+        cr_path = None
+        if prepared["cr"] is not None:
+            from .cr_solver import CRPath
+
+            cr_path = CRPath(mesh, dtype=dtype, device_mesh=self.mesh,
+                             prepared=prepared["cr"])
         return dict(
             mesh=mesh,
             cr_path=cr_path,
-            cr_face_components=cr_face_components,
-            cr_face_areas=cr_face_areas,
-            dual=dual,
-            spacing=float(arrays["spacing"]),
-            src_labels=np.asarray(labels, dtype=np.int64),
+            cr_face_components=prepared["cr_face_components"],
+            cr_face_areas=prepared["cr_face_areas"],
+            spacing=float(prepared["spacing"]),
+            src_labels=np.asarray(prepared["src_labels"], dtype=np.int64),
             H_scipy=H_scipy,
-            amg={},  # per-constraint-mode hierarchies, built lazily
-            **device,
+            amg=amg_cache,  # per-constraint-mode hierarchies (+ lazy builds)
+            **device["dev"],
         )
 
     def _hierarchy(self, cached, mode, n_src: int, dtype):
         """Per-mode SA-AMG hierarchy for the vertex (dual-Laplacian) solves
-        (operator-cache artifact; shm3d.solve.amg)."""
+        (operator-cache artifact; the default mode is persisted by
+        _prepare_host, others build lazily per process)."""
         if mode not in cached["amg"]:
             H = cached["H_scipy"]
             if mode == LevelSetConstraint.ZERO_SET:
                 mask = np.ones(H.shape[0])
                 mask[:n_src] = 0.0
                 H = amg.masked_operator(H, mask)
-            cached["amg"][mode] = amg.build_hierarchy(H, dtype, mesh=self.mesh)
+            cached["amg"][mode] = amg.build_hierarchy(H, dtype, mesh=self.mesh,
+                                                      skip_level0_A=True)
         return cached["amg"][mode]
 
     def _integrate(self, Y, mesh, geom, cached, options, tm):

@@ -303,7 +303,7 @@ def test_tet_disk_cache_roundtrip(ico_mesh, tmp_path, monkeypatch):
     monkeypatch.setenv("SHM3D_CACHE_DIR", str(tmp_path))
     opts = SignedHeatOptions(dtype="float64")
     r1 = SignedHeatTetSolver().compute_distance(ico_mesh, opts)
-    assert len(list(tmp_path.glob("*.npz"))) == 1
+    assert len(list(tmp_path.glob("tree_*/manifest.json"))) == 1
     r2 = SignedHeatTetSolver().compute_distance(ico_mesh, opts)  # disk hit
     np.testing.assert_allclose(r2.phi, r1.phi, rtol=0, atol=1e-12)
     assert r2.mesh.conforming == r1.mesh.conforming
