@@ -60,12 +60,17 @@ def main():
     # Cold solve (discretize + compile + solve).  First compiles over the TPU
     # tunnel take minutes and occasionally kill the remote worker; compiled
     # programs are cached server-side, so a retry resumes cheaply.
-    cold_s = None
+    cold_s = cold_phases = None
     for attempt in range(3):
         t0 = time.time()
         try:
             solver.compute_distance(geom, opts)
             cold_s = time.time() - t0
+            # cold breakdown (VERDICT r2 #2): host precompute vs Step 1 vs
+            # Step 3 attribution of the cold path; whatever cold_s exceeds
+            # their sum is compile + transfer overhead
+            cold_phases = {k: round(v, 3) for k, v in
+                           solver.last_stats.get("phases", {}).items()}
             break
         except Exception as e:  # jax.errors.JaxRuntimeError on worker restart
             print(f"# cold attempt {attempt} failed: {type(e).__name__}", file=sys.stderr)
@@ -115,12 +120,71 @@ def main():
         phi_ref = res_ref.phi
         ref_nrm = float(np.linalg.norm(phi_ref))
         accuracy = {
-            "rel_l2_fast_tier": round(float(np.linalg.norm(phi0 - phi_ref)) / ref_nrm, 9),
-            "rel_l2_default_tier": round(float(np.linalg.norm(phi1 - phi_ref)) / ref_nrm, 9),
+            "rel_l2_fast_tier": float("%.3e" % (float(np.linalg.norm(phi0 - phi_ref)) / ref_nrm)),
+            "rel_l2_default_tier": float("%.3e" % (float(np.linalg.norm(phi1 - phi_ref)) / ref_nrm)),
             "warm_default_tier_s": round(float(np.median(t1)), 4),
             "default_tier_rel_res": rel_res1,
             "ref_tier_rel_res": solver.last_stats.get("refine_rel_res"),
         }
+
+    # 256^3: the north-star scale (BASELINE.json couples < 1 s AND
+    # rel-L2 <= 1e-5 at 256^3; VERDICT r2 #3).  Same protocol as the 128^3
+    # headline: fast + default tiers timed warm, rel-L2 of each against a
+    # refine-to-convergence f64 reference at the same discretization.
+    g256 = {}
+    if not skip_acc and os.environ.get("SHM3D_BENCH_NO_256", "") == "":
+        o256 = opts.with_(h_coef=4.0)
+        solver.compute_distance(geom, o256)  # warm
+        tf = []
+        for _ in range(3):
+            t0 = time.time()
+            r256 = solver.compute_distance(geom, o256)
+            tf.append(time.time() - t0)
+        phi_f = r256.phi
+        o256d = o256.with_(refine_steps=1)
+        solver.compute_distance(geom, o256d)  # warm the refine path
+        td = []
+        for _ in range(3):
+            t0 = time.time()
+            r256d = solver.compute_distance(geom, o256d)
+            td.append(time.time() - t0)
+        phi_d = r256d.phi
+        ref256 = solver.compute_distance(
+            geom, o256.with_(refine_steps=8, refine_target=1e-11)).phi
+        nrm = float(np.linalg.norm(ref256))
+        g256 = {
+            "warm_fast_tier_s": round(float(np.median(tf)), 4),
+            "warm_default_tier_s": round(float(np.median(td)), 4),
+            "rel_l2_fast_tier": float("%.3e" % (float(np.linalg.norm(phi_f - ref256)) / nrm)),
+            "rel_l2_default_tier": float("%.3e" % (float(np.linalg.norm(phi_d - ref256)) / nrm)),
+            "ref_tier_rel_res": solver.last_stats.get("refine_rel_res"),
+        }
+
+    # Analytic cross-check (VERDICT r2 weak #4: the reference tier above is
+    # the same solver refined — self-referential).  A unit sphere has a
+    # closed-form signed distance |x - c| - R; the solve's deviation from it
+    # is discretization error (O(h) of the method itself, NOT solver error)
+    # plus solver error, so it upper-bounds the latter with independent
+    # ground truth.
+    sphere = {}
+    if not skip_acc and os.environ.get("SHM3D_BENCH_NO_SPHERE", "") == "":
+        from shm3d.geometry.procedural import make_icosphere
+
+        sph = make_icosphere(4, radius=1.0)
+        for h, tag in ((3.0, "sphere_grid128"), (4.0, "sphere_grid256")):
+            so = opts.with_(h_coef=h, refine_steps=1)
+            rs = solver.compute_distance(sph, so)
+            from shm3d.ops.farfield import _positions_of
+
+            g = rs.grid
+            pos = _positions_of(np.arange(int(g.n) ** 3, dtype=np.int64), g)
+            exact = np.linalg.norm(pos.astype(np.float64), axis=1) - 1.0
+            err = np.asarray(rs.phi, np.float64) - exact
+            sphere[tag] = {
+                "rel_l2_vs_analytic": float("%.3e" % (
+                    float(np.linalg.norm(err)) / float(np.linalg.norm(exact)))),
+                "max_abs_err": float("%.3e" % float(np.abs(err).max())),
+            }
 
     print(
         json.dumps(
@@ -132,11 +196,14 @@ def main():
                 "detail": {
                     "asset": os.path.basename(path),
                     "cold_s": round(cold_s, 2),
+                    "cold_phases_s": cold_phases,
                     "warm_runs_s": [round(t, 4) for t in times],
                     "grid": int(res.grid.n),
                     "n_sources": int(geom.positions.shape[0]) if hasattr(geom, "positions") else None,
                     "phi_transfer_s": round(phi_transfer_s, 4),
                     "accuracy": accuracy,
+                    "grid256": g256,
+                    "sphere_analytic": sphere,
                 },
             }
         )

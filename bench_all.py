@@ -84,6 +84,14 @@ def _solve_config(name, asset, domain, opts_kw, warm_runs=3):
             # Step 3 attribution at scale (VERDICT r1 weak #7)
             "phases_s": {k: round(v, 4) for k, v in
                          solver.last_stats.get("phases", {}).items()},
+            # solve internals (VERDICT r2 #8): iteration counts, device
+            # programs used and their wall clock, AMG shape — so the next
+            # perf regression is a JSON diff, not a timeout
+            "solve": {k: solver.last_stats[k]
+                      for k in ("iters", "residual", "rel_res", "proj_iters",
+                                "chunks", "proj_chunks", "amg_sizes",
+                                "iter_seconds_est")
+                      if k in solver.last_stats},
         },
     }
 

@@ -18,7 +18,8 @@ from .io.mesh_io import Mesh, PointCloud
 class SignedHeatSolver:
     """domain: "tet" (default, like the reference) or "grid".
 
-    ``mesh``: optional 1-D ``jax.sharding.Mesh`` (``shm3d.parallel.device_mesh``)
+    ``mesh``: optional ``jax.sharding.Mesh`` (``shm3d.parallel.device_mesh``;
+    1-D single-slice or 2-D ("s", "d") multi-slice)
     to run multi-chip — Step 1 rotates source shards over ICI (ring schedule)
     and grid Step 3 runs on z-slab-sharded fields with XLA-inserted halo
     collectives.  One code path serves 1 and N devices."""

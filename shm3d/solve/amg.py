@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import ell
-from ..utils import treestore
+from . import ell, pell
+from ..utils import order, treestore
 
 
 @treestore.register
@@ -43,7 +43,18 @@ class AMGLevel(NamedTuple):
                                 # (make_preconditioner_parts matvec0) — the
                                 # level-0 panel would duplicate the solve
                                 # operator (250 MB at knot scale)
-    inv_diag: jnp.ndarray       # 1 / diag(A_l)
+    inv_diag: jnp.ndarray       # omega_l / diag(A_l): the damped-Jacobi
+                                # smoother step, with the per-level safe
+                                # damping 4/(3 rho(D^-1 A_l)) BAKED IN at
+                                # build time.  A fixed omega=0.67 assumes
+                                # rho <= 2; sliver-bearing CR face operators
+                                # measure rho up to 4.6 per level, where a
+                                # fixed omega makes the smoother DIVERGENT
+                                # on high modes and the V-cycle actively
+                                # harmful (knot CR: CG stalled at rel 7e-2
+                                # after 90 f64 iterations; with safe
+                                # per-level omegas the same hierarchy
+                                # reaches 4e-5)
     P: ell.EllMat               # prolongation (n_l x n_c)
     PT: ell.EllMat              # restriction P^T (n_c x n_l)
 
@@ -239,6 +250,7 @@ def build_hierarchy_host(
     H, dtype, theta: float = 0.08, max_coarse: int = 192, max_levels: int = 12,
     p_keep: int = 4, drop_tol: float = 0.02, pad_rows_to: int = 1,
     first_P=None, skip_level0_A: bool = False,
+    paged_min_nnz: Optional[int] = None,
 ) -> AMGHierarchy:
     """Host-side SA-AMG setup for SPD (or semi-definite) sparse ``H``;
     returns NUMPY-leaf arrays (a persistable operator-cache artifact — see
@@ -255,10 +267,29 @@ def build_hierarchy_host(
     mesh-aware interpolation that SA aggregation cannot discover.
     ``skip_level0_A``: store None for level 0's operator panel; the caller
     passes its own solve matvec to make_preconditioner_parts (saves a
-    duplicate of the largest operator on disk/HBM/transfer)."""
+    duplicate of the largest operator on disk/HBM/transfer).
+    ``paged_min_nnz``: when set, store LEVEL OPERATORS at or above this nnz
+    as paged-ELL (solve/pell.py, single-chip Pallas SpMV — ~5x the XLA
+    gather rate at knot scale) instead of plain ELL, and renumber each
+    coarse space by first fine member (utils/order.first_row_order) so the
+    level-0 locality ordering the CALLER applied to ``H`` carries down the
+    hierarchy — pass-count, and hence V-cycle cost, depends on it.
+    Prolongators/restrictions are NEVER paged: a transfer operator's rows
+    live in one space and its columns in another ~10x smaller/larger one,
+    so its (tile, page) passes run a few percent occupied — the knot CR
+    restriction paged to 9.8 GB for 13.5M nnz (measured: OOM'd the chip) —
+    while the same locality orderings make its narrow ELL gather fast."""
     import scipy.sparse as sp
 
     np_dtype = np.dtype(dtype)
+
+    def build_op(M, square: bool):
+        M = M.tocsr()
+        if (square and paged_min_nnz is not None
+                and M.nnz >= paged_min_nnz and np_dtype == np.float32):
+            return pell.build_paged(M, np_dtype)
+        return ell.build_ell(M, np_dtype, pad_rows_to=pad)
+
     A = H.tocsr().astype(np.float64)
     l0_nnz = int(A.nnz)
     levels = []
@@ -268,6 +299,10 @@ def build_hierarchy_host(
         n = A.shape[0]
         d = np.asarray(A.diagonal())
         d = np.where(np.abs(d) > 0, d, 1.0)
+        # per-level safe smoother damping (see AMGLevel.inv_diag); the same
+        # rho drives the prolongator smoothing below
+        rho = _rho_dinv_a(A, d)
+        omega = 4.0 / (3.0 * rho)
         if len(levels) == 0 and first_P is not None:
             P = first_P.tocsr()
         else:
@@ -280,19 +315,22 @@ def build_hierarchy_host(
                 (np.ones(int(kept.sum())), (np.flatnonzero(kept), agg[kept])),
                 shape=(n, nc),
             )
-            omega = 4.0 / (3.0 * _rho_dinv_a(A, d))
             P = (T - sp.diags(omega / d) @ (A @ T)).tocsr()
             P = _truncate_prolongator(P, p_keep)
+        if paged_min_nnz is not None:
+            # inherit the fine level's locality ordering (see docstring)
+            perm_c = order.first_row_order(P)
+            P = P[:, perm_c].tocsr()
         Ac = _filter_operator((P.T @ A @ P).tocsr(), drop_tol)
         Ac.sum_duplicates()
 
         A_panel = (None if (skip_level0_A and len(levels) == 0)
-                   else ell.build_ell(A, np_dtype, pad_rows_to=pad))
+                   else build_op(A, square=True))
         levels.append(AMGLevel(
             A_panel,
-            (1.0 / d).astype(np_dtype),
-            ell.build_ell(P, np_dtype, pad_rows_to=pad),
-            ell.build_ell(P.T.tocsr(), np_dtype, pad_rows_to=pad),
+            (omega / d).astype(np_dtype),
+            build_op(P, square=False),
+            build_op(P.T, square=False),
         ))
         A = Ac
         sizes.append(A.shape[0])
@@ -344,30 +382,32 @@ def make_preconditioner_parts(levels, coarse_inv, sizes, smooth_iters: int = 1,
     ELL panels may carry sharding padding rows, sliced off by matvec).
     ``matvec0``: the level-0 operator application when the hierarchy was
     built with skip_level0_A (must be the SAME operator the hierarchy was
-    built on, e.g. the masked solve matvec)."""
-    omega = 0.67
+    built on, e.g. the masked solve matvec).
+
+    The smoother step is ``x += inv_diag * r`` — the per-level safe damping
+    is baked into inv_diag at build time (see AMGLevel)."""
 
     def mv(level: int, lvl: AMGLevel, x):
         if lvl.A is None:
             assert level == 0 and matvec0 is not None, "missing level-0 matvec"
             return matvec0(x)
-        return ell.matvec(lvl.A, x, n_out=sizes[level])
+        return pell.apply(lvl.A, x, n_out=sizes[level])
 
     def smooth(level: int, lvl: AMGLevel, x, b):
         for _ in range(smooth_iters):
             r = b - mv(level, lvl, x)
-            x = x + omega * lvl.inv_diag * r
+            x = x + lvl.inv_diag * r
         return x
 
     def cycle(level: int, b):
         if level == len(levels):
             return coarse_inv @ b
         lvl = levels[level]
-        x = omega * lvl.inv_diag * b  # pre-smooth from zero
+        x = lvl.inv_diag * b  # pre-smooth from zero
         r = b - mv(level, lvl, x)
-        rc = ell.matvec(lvl.PT, r, n_out=sizes[level + 1])
+        rc = pell.apply(lvl.PT, r, n_out=sizes[level + 1])
         xc = cycle(level + 1, rc)
-        x = x + ell.matvec(lvl.P, xc, n_out=sizes[level])
+        x = x + pell.apply(lvl.P, xc, n_out=sizes[level])
         return smooth(level, lvl, x, b)
 
     return lambda b: cycle(0, b)

@@ -1,0 +1,391 @@
+"""Paged-ELL SpMV: a Pallas TPU kernel for large unstructured FEM matvecs.
+
+Why: XLA's gather-based ELL matvec (solve/ell.py) reads x with a fully
+random 31.4M-element gather at knot scale and runs at ~123M elem/s on v5e
+(measured 240 ms per CR matvec) — an effective ~1.5 GB/s, 2% of HBM
+bandwidth, because every gathered element pays a full HBM transaction.
+
+Structure recovered: sort the matrix entries into (output-tile, source-page)
+"passes", where an output tile is 1024 consecutive rows (one (8,128) f32
+VPU tile of y) and a source page is 1024 consecutive entries of x (one
+(8,128) tile).  Each pass holds, for one output tile, at most one entry per
+row sourced from one page (rows needing several entries from the same page
+occupy several passes via a multiplicity index).  A pass then costs:
+
+- stream in the pass's values (4 KB) and packed in-page indices (4 KB)
+  — *sequential* HBM reads at full bandwidth;
+- fetch the source x page (4 KB, one (8,128) VMEM block, double-buffered
+  by the Pallas pipeline; consecutive passes hitting the same page are
+  fetched once);
+- an 8-step lane-gather: for each source sublane k,
+  ``take_along_axis(page[k], lane_idx)`` + select — pure VPU work;
+- FMA into the resident output tile (revisited across the tile's passes,
+  written back once per tile).
+
+With a locality-improving row/column ordering (the caller bakes e.g. a
+Morton permutation into the matrix; tet/cr_solver does) the knot CR
+operator packs into ~169k passes (~16% slot utilization), i.e. ~2 GB of
+sequential traffic per matvec — bandwidth-bound at ~3 ms vs 240 ms.
+
+Memory/SMEM budget: per-pass metadata (output tile, source page) is packed
+into ONE int32 scalar-prefetch word — ``local_tile << 20 | page`` — because
+the index maps of the x-page stream and the output tile need it before the
+kernel body runs, and SMEM is 1 MB total (three separate int32 arrays at
+knot scale = 2 MB: measured compile OOM).  Matrices are split into
+SEGMENTS of at most _SEG_TILES output tiles and _SEG_PASSES passes; each
+segment is one ``pallas_call`` writing its own tile range, concatenated on
+the way out.  The first-pass-of-tile flag (output zeroing) is derived
+in-kernel by comparing adjacent metadata words.
+
+Intended use: the big CR/vertex Step-3 operators and their AMG hierarchy
+levels on a single chip (tet/cr_solver.py, tet/solver.py).  Multi-chip
+solves keep the GSPMD ELL path (pallas_call does not partition under
+GSPMD).  Reference counterpart: the CHOLMOD-factorized solves of
+/root/reference/src/signed_heat_tet_solver.cpp:234-317 — same operators,
+direct-factorization there, matrix-free iterative here.
+
+Off the TPU backend ``matvec`` computes the identical pass decomposition
+with plain XLA ops (page gather + take_along_axis + sorted segment-sum) —
+the packing and arithmetic are exercised by the CPU test suite, the Mosaic
+kernel itself by small interpret-mode tests (set ``FORCE_INTERPRET``) and
+on the chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..utils import treestore
+from . import ell
+
+PAGE = 1024                 # entries per x page / rows per output tile
+_SEG_TILES = 2048           # local_tile must fit in 11 bits (i32 sign-safe)
+_SEG_PASSES = 150_000       # ~600 KB of i32 scalar-prefetch per call
+_PAGE_BITS = 20             # page must fit below the local_tile field
+
+# The Mosaic compile of one segment kernel costs 52 s (T=18k) to 300 s
+# (T=169k) over the remote-compile tunnel, keyed by the static shape triple
+# (T, n_tiles, n_source_pages).  Segments are therefore BUCKETED: pass
+# counts and tile/page counts round up to a coarse geometric grid so every
+# similarly-sized operator (across AMG levels, meshes, assets) reuses a
+# compiled kernel.  Padding costs dummy passes (zero values, page 0, last
+# tile) — bandwidth, not correctness.
+_T_BUCKETS_BASE = 1024
+
+
+def _bucket(n: int, base: int = _T_BUCKETS_BASE) -> int:
+    """Smallest base * 1.5^k >= n (coarse geometric grid)."""
+    b = base
+    while b < n:
+        b = int(b * 3 // 2)
+    return b
+
+
+def _bucket_pow2(n: int) -> int:
+    b = 1
+    while b < n:
+        b <<= 1
+    return b
+
+#: test hook — run the Mosaic kernel in the Pallas interpreter even off-TPU
+#: (the interpreter steps the grid one pass at a time; fine for tiny
+#: matrices, minutes for real ones — the XLA fallback is the default there)
+FORCE_INTERPRET = False
+
+
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["vals", "idx", "meta"],
+                   meta_fields=["t0", "n_tiles"])
+@dataclasses.dataclass(frozen=True)
+class PagedSeg:
+    """One kernel launch worth of passes, covering output tiles
+    [t0, t0 + n_tiles)."""
+
+    vals: jnp.ndarray   # (T, 8, 128) compute dtype, slot = row % 1024
+    idx: jnp.ndarray    # (T, 8, 128) int32, col % 1024 (sublane*128 + lane)
+    meta: jnp.ndarray   # (T,) int32, (local_tile << 20) | page
+    t0: int
+    n_tiles: int
+
+
+def _pack_seg(s: PagedSeg) -> dict:
+    """Compact on-disk form: the pass panels are ~16%-occupied dense slots;
+    store only the occupied ones (int16 in-page indices) and re-scatter at
+    load — ~4.4x smaller artifacts at knot scale for a ~1 s load scatter."""
+    v = np.asarray(s.vals).reshape(-1)
+    nz = np.flatnonzero(v).astype(np.int32)
+    return dict(T=int(s.vals.shape[0]), t0=int(s.t0),
+                n_tiles=int(s.n_tiles), dt=str(np.asarray(s.vals).dtype),
+                meta=np.asarray(s.meta),
+                pos=nz, val=v[nz],
+                idx=np.asarray(s.idx).reshape(-1)[nz].astype(np.int16))
+
+
+def _unpack_seg(d: dict) -> PagedSeg:
+    T = int(d["T"])
+    vals = np.zeros(T * PAGE, np.dtype(d["dt"]))
+    idx = np.zeros(T * PAGE, np.int32)
+    pos = np.asarray(d["pos"])
+    vals[pos] = d["val"]
+    idx[pos] = np.asarray(d["idx"], np.int32)
+    return PagedSeg(vals.reshape(T, 8, 128), idx.reshape(T, 8, 128),
+                    np.asarray(d["meta"]), int(d["t0"]), int(d["n_tiles"]))
+
+
+treestore.register_packed(PagedSeg, _pack_seg, _unpack_seg)
+
+
+@treestore.register
+@functools.partial(jax.tree_util.register_dataclass,
+                   data_fields=["segs"],
+                   meta_fields=["n_rows", "n_cols", "cols_pad", "nnz"])
+@dataclasses.dataclass(frozen=True)
+class PagedMat:
+    segs: Tuple[PagedSeg, ...]
+    n_rows: int
+    n_cols: int
+    cols_pad: int        # bucketed source length (x is zero-padded to it)
+    nnz: int
+
+    @property
+    def n_rows_pad(self) -> int:
+        return sum(s.n_tiles for s in self.segs) * PAGE
+
+    @property
+    def n_passes(self) -> int:
+        return sum(int(s.meta.shape[0]) for s in self.segs)
+
+
+def build_paged(M, dtype=np.float32) -> PagedMat:
+    """Host-side pass decomposition of any scipy sparse matrix.
+
+    The caller is responsible for ordering: pass counts (and hence matvec
+    cost) track how well consecutive rows read consecutive columns — apply
+    a locality permutation (Morton on element positions, or RCM) to the
+    matrix FIRST.  Vectorized packed-key sorts throughout (np.lexsort and
+    np.add.at are ~10x slower on this host)."""
+    import scipy.sparse as sp  # noqa: F401  (type availability)
+
+    A = M.tocsr()
+    A.sum_duplicates()
+    A.sort_indices()
+    n, m = A.shape
+    if m > (1 << (_PAGE_BITS + 10)):
+        raise ValueError(f"paged matvec supports up to 2^30 columns, got {m}")
+    counts = np.diff(A.indptr)
+    nnz = int(A.indices.size)
+    n_tiles = max(1, -(-n // PAGE))
+    n_pages = max(1, -(-m // PAGE))
+    cols_pad = _bucket_pow2(n_pages) * PAGE
+    if nnz == 0:
+        segs = tuple(_empty_seg(t0, min(_SEG_TILES, n_tiles - t0), dtype)
+                     for t0 in range(0, n_tiles, _SEG_TILES))
+        return PagedMat(segs, n, m, cols_pad, 0)
+
+    rows = np.repeat(np.arange(n, dtype=np.int64), counts)
+    cols = A.indices.astype(np.int64)
+    page = cols >> 10
+    # multiplicity within each (row, page) group — CSR order makes the
+    # groups contiguous, so a change-flag cumsum suffices
+    grp = rows * n_pages + page
+    new = np.ones(nnz, bool)
+    new[1:] = grp[1:] != grp[:-1]
+    idx_lin = np.arange(nnz, dtype=np.int64)
+    first_of = np.maximum.accumulate(np.where(new, idx_lin, 0))
+    mult = idx_lin - first_of
+    # pass identity (tile, page, mult), sorted; tile order is already
+    # ascending in CSR, so sorting the packed key keeps tile runs contiguous
+    tile = rows >> 10
+    key = (tile * n_pages + page) * PAGE + mult
+    order = np.argsort(key, kind="stable")
+    ks = key[order]
+    new2 = np.ones(nnz, bool)
+    new2[1:] = ks[1:] != ks[:-1]
+    pass_id = np.cumsum(new2) - 1
+    T = int(pass_id[-1]) + 1
+
+    vals3 = np.zeros((T, PAGE), dtype)
+    idx3 = np.zeros((T, PAGE), np.int32)
+    e = (rows[order] & 1023).astype(np.int64)
+    vals3[pass_id, e] = A.data[order].astype(dtype)
+    idx3[pass_id, e] = (cols[order] & 1023).astype(np.int32)
+    pass_tile = np.zeros(T, np.int64)
+    pass_page = np.zeros(T, np.int64)
+    pass_tile[pass_id] = tile[order]
+    pass_page[pass_id] = page[order]
+
+    # tiles with no entries (possible for rectangular/padded shapes) still
+    # need one zero pass so their output block is initialized
+    present = np.zeros(n_tiles, bool)
+    present[pass_tile] = True
+    missing = np.flatnonzero(~present)
+    if missing.size:
+        vals3 = np.concatenate([vals3, np.zeros((missing.size, PAGE), dtype)])
+        idx3 = np.concatenate([idx3, np.zeros((missing.size, PAGE), np.int32)])
+        pass_tile = np.concatenate([pass_tile, missing])
+        pass_page = np.concatenate([pass_page, np.zeros(missing.size, np.int64)])
+        order2 = np.argsort(pass_tile, kind="stable")
+        vals3, idx3 = vals3[order2], idx3[order2]
+        pass_tile, pass_page = pass_tile[order2], pass_page[order2]
+        T += missing.size
+
+    # segment at tile-run boundaries: <= _SEG_TILES tiles AND <= _SEG_PASSES
+    # passes per segment (SMEM + i32 packing limits), then pad each segment
+    # to the compile-shape buckets (module docstring above _bucket)
+    run_start = np.ones(T, bool)
+    run_start[1:] = pass_tile[1:] != pass_tile[:-1]
+    starts = np.flatnonzero(run_start)          # first pass of each tile
+    start_tiles = pass_tile[starts]
+    segs = []
+    s_pass = 0
+    s_tile_i = 0  # index into starts
+    while s_pass < T:
+        t0 = int(start_tiles[s_tile_i])
+        # furthest tile-run start within both budgets
+        j = s_tile_i
+        while (j + 1 < starts.size
+               and int(start_tiles[j + 1]) - t0 < _SEG_TILES
+               and int(starts[j + 1]) - s_pass < _SEG_PASSES):
+            j += 1
+        e_pass = int(starts[j + 1]) if j + 1 < starts.size else T
+        t_end = int(start_tiles[j]) + 1
+        segs.append(_make_seg(vals3[s_pass:e_pass], idx3[s_pass:e_pass],
+                              pass_tile[s_pass:e_pass] - t0,
+                              pass_page[s_pass:e_pass], t0, t_end - t0,
+                              dtype))
+        s_pass = e_pass
+        s_tile_i = j + 1
+    return PagedMat(tuple(segs), n, m, cols_pad, nnz)
+
+
+def _make_seg(vals3, idx3, local_tile, page, t0: int, n_tiles: int,
+              dtype) -> PagedSeg:
+    """Assemble one segment, padding tiles and passes to compile buckets
+    (dummy passes: zero values, page 0; padding tiles each get one
+    zero-initializing pass)."""
+    nt_b = min(_bucket_pow2(n_tiles), _SEG_TILES)
+    Tr = vals3.shape[0]
+    extra_tiles = nt_b - n_tiles
+    T_b = _bucket(Tr + extra_tiles)
+    pad_n = T_b - Tr
+    meta = np.empty(T_b, np.int32)
+    meta[:Tr] = (local_tile.astype(np.int64) << _PAGE_BITS | page).astype(np.int32)
+    # one pass per padding tile (zero-initializes its output block), then
+    # repeat the last padding tile (or the last real tile) for the rest
+    pad_tiles = np.concatenate([
+        np.arange(n_tiles, nt_b, dtype=np.int64),
+        np.full(pad_n - extra_tiles, nt_b - 1 if extra_tiles
+                else int(local_tile[-1]) if Tr else 0, np.int64),
+    ])
+    meta[Tr:] = (pad_tiles << _PAGE_BITS).astype(np.int32)
+    vals_p = np.zeros((T_b, PAGE), dtype)
+    vals_p[:Tr] = vals3
+    idx_p = np.zeros((T_b, PAGE), np.int32)
+    idx_p[:Tr] = idx3
+    return PagedSeg(vals_p.reshape(-1, 8, 128), idx_p.reshape(-1, 8, 128),
+                    meta, t0, nt_b)
+
+
+def _empty_seg(t0: int, n_tiles: int, dtype) -> PagedSeg:
+    # one zeroing pass per tile, then the usual bucket padding
+    z = np.zeros((n_tiles, PAGE), dtype)
+    return _make_seg(z, z.astype(np.int32),
+                     np.arange(n_tiles, dtype=np.int64),
+                     np.zeros(n_tiles, np.int64), t0, n_tiles, dtype)
+
+
+def _seg_kernel(meta_ref, x_ref, v_ref, i_ref, o_ref):
+    i = pl.program_id(0)
+    word = meta_ref[i]
+    tile = word >> _PAGE_BITS
+    prev = meta_ref[jnp.maximum(i - 1, 0)] >> _PAGE_BITS
+    first = jnp.logical_or(i == 0, prev != tile)
+
+    @pl.when(first)
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    pagev = x_ref[:]                     # (8, 128) source page
+    idx = i_ref[0]                       # (8, 128) packed in-page index
+    lane = idx & 127
+    sub = idx >> 7
+    acc = jnp.zeros((8, 128), pagev.dtype)
+    for k in range(8):
+        rowk = jnp.broadcast_to(pagev[k, :][None, :], (8, 128))
+        acc = acc + jnp.where(sub == k,
+                              jnp.take_along_axis(rowk, lane, axis=1), 0.0)
+    o_ref[:] = o_ref[:] + v_ref[0] * acc
+
+
+def _seg_matvec_xla(seg: PagedSeg, x3: jnp.ndarray) -> jnp.ndarray:
+    """Reference/off-TPU path: identical pass semantics in plain XLA."""
+    T = seg.vals.shape[0]
+    page_mask = (1 << _PAGE_BITS) - 1
+    pages = seg.meta & page_mask
+    tiles = seg.meta >> _PAGE_BITS
+    xp = x3.reshape(-1, PAGE)[pages]                       # (T, 1024)
+    g = jnp.take_along_axis(xp, seg.idx.reshape(T, PAGE), axis=1)
+    contrib = seg.vals.reshape(T, PAGE) * g
+    y = jax.ops.segment_sum(contrib, tiles, num_segments=seg.n_tiles,
+                            indices_are_sorted=True)
+    return y.reshape(seg.n_tiles * 8, 128)
+
+
+def _seg_matvec(seg: PagedSeg, x3: jnp.ndarray) -> jnp.ndarray:
+    if jax.default_backend() != "tpu" and not FORCE_INTERPRET:
+        return _seg_matvec_xla(seg, x3)
+    T = seg.vals.shape[0]
+    n_tiles = seg.n_tiles
+    page_mask = (1 << _PAGE_BITS) - 1
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda i, meta: (meta[i] & page_mask, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, meta: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 128), lambda i, meta: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((8, 128),
+                               lambda i, meta: (meta[i] >> _PAGE_BITS, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    nbytes = seg.vals.dtype.itemsize
+    return pl.pallas_call(
+        _seg_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128), seg.vals.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=T * PAGE * 2 * 8,
+            bytes_accessed=T * PAGE * (2 * nbytes + 4 + nbytes),
+            transcendentals=0),
+        interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
+    )(seg.meta, x3, seg.vals, seg.idx)
+
+
+def matvec(p: PagedMat, x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
+    """y = P @ x (jit-safe; segment structure is static)."""
+    n = p.n_rows if n_out is None else n_out
+    pad = p.cols_pad - x.shape[0]
+    x3 = (jnp.pad(x, (0, pad)) if pad else x).reshape(-1, 128)
+    parts = [_seg_matvec(s, x3) for s in p.segs]
+    y = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    return y.reshape(-1)[:n]
+
+
+def apply(op, x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
+    """y = op @ x for either operator encoding (ell.EllMat or PagedMat) —
+    the solve/preconditioner code paths hold whichever the builder chose."""
+    if isinstance(op, PagedMat):
+        return matvec(op, x, n_out)
+    return ell.matvec(op, x, n_out=n_out)

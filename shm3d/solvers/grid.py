@@ -431,7 +431,8 @@ def _laplacian_apply_np(u3: np.ndarray, cell: float) -> np.ndarray:
 class GridSolver:
     """Stateful grid solver mirroring the reference caching contract.
 
-    Pass a 1-D ``jax.sharding.Mesh`` (see shm3d.parallel.device_mesh) to run
+    Pass a ``jax.sharding.Mesh`` (shm3d.parallel.device_mesh; 1-D
+    single-slice or 2-D ("s", "d") multi-slice) to run
     multi-chip: Step 1 uses the ring schedule (sources rotate over ICI,
     queries stay z-slab-resident) and Step 3's stencils/Krylov iterations
     run under jit on z-slab-sharded fields with XLA-inserted halo
@@ -487,11 +488,8 @@ class GridSolver:
                     queries = jax.device_put(queries, shards.node_sharding(self.mesh))
                 cached["queries"] = queries
             use_shell = (
-                not use_mesh
-                and (
-                    options.step1_method == "shell"
-                    or (options.step1_method == "auto" and grid.n >= options.shell_auto_n)
-                )
+                options.step1_method == "shell"
+                or (options.step1_method == "auto" and grid.n >= options.shell_auto_n)
             )
             if use_shell:
                 from ..ops import farfield
@@ -521,7 +519,8 @@ class GridSolver:
                     f" + {plan.m}^3 coarse lattice"
                 )
                 Y = farfield.yukawa_field_shell(
-                    plan, cached["points"], cached["vectors"], lam, grid.n
+                    plan, cached["points"], cached["vectors"], lam, grid.n,
+                    mesh=self.mesh,
                 )
             elif use_mesh:
                 from ..parallel import yukawa_field_ring

@@ -14,11 +14,17 @@ constraints/mean shift act on those sub-faces — the same geometric surface
 the reference pins.  Externally-supplied conforming meshes are detected via
 ``find_surface_faces``.
 
-All solves are matrix-free ELL gather matvecs (solve/ell.py — TPU
-scatter-adds run at ~60M elem/s and put knot's 31.4M-nnz CR solve into the
-worker watchdog; the CR Laplacian's natural row width is 7) + (chunked) CG
-like the vertex path.  Operator arrays are built on host in final dtypes
-and shipped with one batched transfer (ell.py module docstring).
+All solves are matrix-free (chunked) CG like the vertex path.  Operators at
+production sizes run through the paged-ELL Pallas SpMV over a Morton-
+relabeled face space (solve/pell.py — measured 49 ms vs 240 ms for the XLA
+ELL gather at knot's 31.4M nnz, vs 512 ms for scatter-add segment-sums);
+small/multi-chip/f64 operators stay plain ELL (solve/ell.py).  The AMG
+preconditioner uses the geometric face->vertex averaging as its first
+prolongator and per-level spectrally-safe Jacobi smoothing (solve/amg.py —
+a fixed 0.67 damping DIVERGES on sliver-bearing recovery meshes where
+rho(D^-1 A) reaches 4.6).  Operator arrays are built on host in final
+dtypes (CRPath.prepare, a persistable treestore artifact) and shipped with
+one batched transfer (ell.py module docstring).
 """
 
 from __future__ import annotations
@@ -31,11 +37,18 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LevelSetConstraint, SignedHeatOptions
-from ..solve import amg, ell, krylov
+from ..solve import amg, ell, krylov, pell
+from ..utils import order
 from . import fem
 from .mesher import TetMesh
 from . import solver as solver_mod
-from .solver import _refined_solve, _run_chunked, hierarchy_iter_cost
+from .solver import (_refined_solve, _run_chunked, hierarchy_iter_seconds,
+                     op_iter_seconds)
+
+#: use the paged-ELL Pallas SpMV (solve/pell.py) for CR operators at or
+#: above this nnz — below it the plain XLA ELL gather is already sub-10 ms
+#: and not worth the pass-decomposition build or its kernel compile
+PAGED_MIN_NNZ = 2_000_000
 
 
 def find_surface_faces(mesh: TetMesh, src_faces: np.ndarray) -> Optional[np.ndarray]:
@@ -97,7 +110,7 @@ def _cr_zeroset_chunk(b, x0, L, diag, surf_mask,
     (L_CR stored in the positive-definite convention, fem.py; b = masked
     div, or a refinement residual)."""
     def matvec(x):
-        return surf_mask * ell.matvec(L, surf_mask * x) + (1.0 - surf_mask) * x
+        return surf_mask * pell.apply(L, surf_mask * x) + (1.0 - surf_mask) * x
 
     # hierarchy is built on the SAME masked operator -> matvec0 = matvec
     precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag, matvec0=matvec)
@@ -116,12 +129,12 @@ def _cr_none_chunk(b, x0, L, diag,
     """Singular CR Poisson chunk: L phi = b, constants deflated
     (b pre-deflated by the caller)."""
     def matvec(x):
-        y = ell.matvec(L, x)
+        y = pell.apply(L, x)
         return y - jnp.mean(y)
 
     # hierarchy is built on the RAW operator (deflation lives outside it)
     mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag,
-                       matvec0=lambda v: ell.matvec(L, v))
+                       matvec0=lambda v: pell.apply(L, v))
     precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
@@ -163,10 +176,10 @@ def _cr_multiple_chunk(b, x0, L, diag,
 
     def matvec(x):
         # x stays in the subspace along the recurrence, so P L P x = P (L x)
-        return proj(ell.matvec(L, x))
+        return proj(pell.apply(L, x))
 
     mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag,
-                       matvec0=lambda v: ell.matvec(L, v))
+                       matvec0=lambda v: pell.apply(L, v))
     precond = lambda r: proj(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
@@ -182,7 +195,7 @@ def _project_chunk(bvec, x0, P, p_diag, stall, tol=1e-5,
     """(A^T M A + shift I) w = b, SPD (projectOntoVertices, :790-810;
     shift = the relative Tikhonov of projection_regularization)."""
     def matvec(x):
-        return ell.matvec(P, x) + shift * x
+        return pell.apply(P, x) + shift * x
 
     precond = lambda r: r / p_diag
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(bvec, precond(bvec))))
@@ -293,6 +306,7 @@ class CRPath:
         self.nf = int(prepared["nf"])
         self.surface_faces = np.asarray(prepared["surface_faces"], np.int64)
         self._H = prepared["H_csr"].to_scipy()
+        self._first_P_scipy = prepared["first_P_csr"].to_scipy()
         self._P_scipy = prepared["P_csr"].to_scipy()
         self._AtM_scipy = prepared["AtM_csr"].to_scipy()
         self._proj_shift = float(prepared["proj_shift"])
@@ -319,12 +333,32 @@ class CRPath:
                 eager_modes=(LevelSetConstraint.ZERO_SET,)) -> dict:
         """Host-side CR preparation: numpy-leaf tree (see class docstring).
         ``eager_modes``: constraint modes whose AMG hierarchies are built
-        (and hence persisted) now; others are built lazily per process."""
+        (and hence persisted) now; others are built lazily per process.
+
+        At production sizes (single chip, f32, nnz >= PAGED_MIN_NNZ) the
+        WHOLE face space is relabeled by a Morton order on face barycenters
+        and the solve operator stored paged (solve/pell.py): the pass count
+        — the paged matvec's cost — tracks spatial locality of the
+        numbering.  The permutation is baked into every face-indexed array
+        here once, so the solves run entirely in the permuted space with
+        zero per-matvec cost; only the face->vertex projection (whose
+        output is vertex-indexed) crosses back, via the column-permuted
+        A^T M."""
         np_dtype = np.dtype(dtype)
         nf = mesh.n_faces
         surface_faces = np.asarray(surface_faces, dtype=np.int64)
         cr = cr_ops if cr_ops is not None else fem.build_cr_operators(mesh)
         L = cr.L_scipy().tocsr()
+        use_paged = (np_dtype == np.float32 and pad == 1
+                     and L.nnz >= PAGED_MIN_NNZ)
+        df = cr.div_faces
+        if use_paged:
+            fb = np.asarray(mesh.vertices)[np.asarray(mesh.faces)].mean(axis=1)
+            fperm = order.morton_order(fb)
+            finv = order.inverse_permutation(fperm)
+            L = L[fperm][:, fperm].tocsr()
+            surface_faces = finv[surface_faces]  # positions preserved
+            df = finv[df]
         # L_CR is assembled in the positive-(semi)definite convention
         # (diag > 0, annihilates constants) — its diagonal IS the Jacobi
         # scaling.  (A historical -diagonal() here was all-negative and the
@@ -337,6 +371,8 @@ class CRPath:
         M = cr.M_scipy()
         AtM = (A.T @ M).tocsr()
         P = (AtM @ A).tocsr()
+        if use_paged:
+            AtM = AtM[:, fperm].tocsr()
         p_diag = np.asarray(P.diagonal())
         proj_shift, proj_weak = projection_regularization(p_diag)
         p_diag = np.where(np.abs(p_diag) > 0, p_diag, 1.0) + proj_shift
@@ -345,23 +381,27 @@ class CRPath:
         # batched put (per-array converting puts cost seconds each over the
         # remote-TPU tunnel; ell.py module docstring)
         arrays = dict(
-            L=ell.build_ell(L, np_dtype, pad_rows_to=pad),
+            L=(pell.build_paged(L, np_dtype) if use_paged
+               else ell.build_ell(L, np_dtype, pad_rows_to=pad)),
             diag=diag.astype(np_dtype),
+            # the projection Gram lives in the (unpermuted) VERTEX space —
+            # paging it without a vertex locality order exploded to 2.2 GB
+            # for ~20M nnz (measured); plain ELL it stays
             P=ell.build_ell(P, np_dtype, pad_rows_to=pad),
             p_diag=p_diag.astype(np_dtype),
         )
         # divergence in gather form: (nf, 2) incident tets + signed normals
-        counts = np.bincount(cr.div_faces, minlength=nf)
-        order_d = np.argsort(cr.div_faces, kind="stable")
-        df = cr.div_faces[order_d]
+        counts = np.bincount(df, minlength=nf)
+        order_d = np.argsort(df, kind="stable")
+        dfs = df[order_d]
         first = np.zeros(nf, np.int64)
         first[1:] = np.cumsum(counts)[:-1]
-        pos = np.arange(df.size) - first[df]
+        pos = np.arange(dfs.size) - first[dfs]
         K = int(counts.max()) if counts.size else 1
         dtets2 = np.zeros((nf, K), np.int32)
         dnvec2 = np.zeros((nf, K, 3), np_dtype)
-        dtets2[df, pos] = cr.div_tets[order_d]
-        dnvec2[df, pos] = cr.div_nvec[order_d]
+        dtets2[dfs, pos] = cr.div_tets[order_d]
+        dnvec2[dfs, pos] = cr.div_nvec[order_d]
         arrays["divt"] = dtets2
         arrays["divn"] = dnvec2
         # surface mask (0 on constrained faces)
@@ -369,10 +409,27 @@ class CRPath:
         mask[surface_faces] = 0.0
         arrays["surf_mask"] = mask
 
+        # geometric face->vertex first prolongator (the CR dof at a face
+        # barycenter is the mean of the P1 values at its 3 vertices): a 10x
+        # first coarsening with mesh-aware interpolation that SA aggregation
+        # cannot discover — equal measured CG convergence on the knot CR
+        # system, ~10x faster hierarchy setup (11 s vs 104 s host)
+        faces_p = np.asarray(mesh.faces)
+        if use_paged:
+            faces_p = faces_p[fperm]
+        import scipy.sparse as sp
+
+        first_P = sp.csr_matrix(
+            (np.full(3 * nf, 1.0 / 3.0),
+             (np.repeat(np.arange(nf, dtype=np.int64), 3),
+              faces_p.reshape(-1).astype(np.int64))),
+            shape=(nf, mesh.n_vertices))
+
         hierarchies = {}
         for mode in eager_modes:
             hierarchies[mode.value] = CRPath._build_hierarchy_host(
-                L, mask.astype(np.float64), mode, np_dtype, pad)
+                L, mask.astype(np.float64), mode, np_dtype, pad,
+                first_P=first_P, paged=use_paged)
         return dict(
             nf=nf,
             surface_faces=surface_faces,
@@ -380,25 +437,31 @@ class CRPath:
             H_csr=ell.CSR64.from_scipy(L),
             P_csr=ell.CSR64.from_scipy(P),
             AtM_csr=ell.CSR64.from_scipy(AtM),
+            first_P_csr=ell.CSR64.from_scipy(first_P),
             proj_shift=float(proj_shift),
             proj_weak=proj_weak,
             amg=hierarchies,
         )
 
     @staticmethod
-    def _build_hierarchy_host(H, mask64, mode, np_dtype, pad):
+    def _build_hierarchy_host(H, mask64, mode, np_dtype, pad, first_P=None,
+                              paged: bool = False):
         if mode == LevelSetConstraint.ZERO_SET:
             H = amg.masked_operator(H, mask64)
-        return amg.build_hierarchy_host(H, np_dtype, pad_rows_to=pad,
-                                        skip_level0_A=True)
+        return amg.build_hierarchy_host(
+            H, np_dtype, pad_rows_to=pad, skip_level0_A=True,
+            first_P=first_P,
+            paged_min_nnz=PAGED_MIN_NNZ if paged else None)
 
     def _hierarchy(self, mode):
-        """Per-constraint-mode SA-AMG hierarchy (operator-cache artifact;
+        """Per-constraint-mode AMG hierarchy (operator-cache artifact;
         non-default modes are built lazily per process)."""
         if mode not in self._amg_cache:
             h = CRPath._build_hierarchy_host(
                 self._H, self._mask64, mode, np.dtype(self.dtype),
-                self.device_mesh.size if self.device_mesh is not None else 1)
+                self.device_mesh.size if self.device_mesh is not None else 1,
+                first_P=self._first_P_scipy,
+                paged=isinstance(self.arrays["L"], pell.PagedMat))
             self._amg_cache[mode] = amg.hierarchy_to_device(h, self.device_mesh)
         return self._amg_cache[mode]
 
@@ -420,7 +483,9 @@ class CRPath:
 
         mode = options.level_set_constraint
         h = self._hierarchy(mode)
-        cost = hierarchy_iter_cost(h)
+        cost = hierarchy_iter_seconds(h, l0=a["L"])
+        solve_stats: dict = {}
+        proj_stats: dict = {}
         mg = (h.levels, h.coarse_inv)
         H64 = self._H
         zeros = ell.replicated(np.zeros(nf), self.dtype, self.device_mesh)
@@ -432,7 +497,7 @@ class CRPath:
                 lambda x0, c, s: _cr_zeroset_chunk(
                     b, x0, a["L"], a["diag"], a["surf_mask"], *mg, s,
                     tol=tol, chunk=c, mg_sizes=h.sizes),
-                zeros, tol, maxiter, iter_cost=cost)
+                zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
             phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options,
                                               device_mesh=self.device_mesh)
         elif mode == LevelSetConstraint.MULTIPLE:
@@ -459,7 +524,7 @@ class CRPath:
                     b, x0, a["L"], a["diag"],
                     gparts["elems"], gparts["gids"], gparts["winv"], *mg, s,
                     n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes),
-                zeros, tol, maxiter, iter_cost=cost)
+                zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
             phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options,
                                               device_mesh=self.device_mesh)
             phi_f = phi_f - self._face_shift64(phi_f, src_face_areas)
@@ -470,7 +535,7 @@ class CRPath:
                 lambda x0, c, s: _cr_none_chunk(
                     b, x0, a["L"], a["diag"], *mg, s,
                     tol=tol, chunk=c, mg_sizes=h.sizes),
-                zeros, tol, maxiter, iter_cost=cost)
+                zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
             phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options,
                                               device_mesh=self.device_mesh)
             phi_f = phi_f - self._face_shift64(phi_f, src_face_areas)
@@ -485,11 +550,15 @@ class CRPath:
                 b, x0, a["P"], a["p_diag"], s,
                 tol=tol, chunk=c, shift=shift),
             ell.replicated(np.zeros(nv), self.dtype, self.device_mesh), tol, maxiter,
-            iter_cost=2 * a["P"].vals.size)
+            iter_seconds=2 * op_iter_seconds(a["P"]), stats=proj_stats)
         w, it2, r2 = _refined_solve(runp, host_opp, b64p, self.dtype, options,
                                       device_mesh=self.device_mesh)
         self.last_stats = {"iters": int(it1), "residual": float(r1),
-                           "proj_iters": int(it2), "proj_residual": float(r2)}
+                           "proj_iters": int(it2), "proj_residual": float(r2),
+                           "chunks": solve_stats.get("chunks", []),
+                           "proj_chunks": proj_stats.get("chunks", []),
+                           "amg_sizes": list(h.sizes),
+                           "iter_seconds_est": round(cost, 4)}
         if self._proj_weak.size:
             w = repair_mass_starved(w, self._proj_weak, np.asarray(self.mesh.tets))
         # The reference returns -phi here (:316) to compensate its internal

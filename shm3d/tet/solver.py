@@ -47,7 +47,7 @@ from ..geometry import sources as src_mod
 from ..geometry import surface as surf
 from ..io.mesh_io import Mesh, PointCloud
 from ..ops.yukawa import yukawa_field
-from ..solve import amg, ell, krylov
+from ..solve import amg, ell, krylov, pell
 from ..utils import checks, diskcache, timing, treestore
 from . import fem
 from .mesher import TetMesh, build_tet_domain
@@ -93,22 +93,41 @@ def _divergence(Y, div_rows, div_tets, div_gvec, n):
 CHUNK_ITERS = 400  # initial bound when no cost estimate is available
 _CHUNK_MIN, _CHUNK_MAX = 25, 4000
 _CHUNK_TARGET_S = 20.0
-# conservative ELL-gather throughput on v5e (measured 123M elems/s with
-# random indices); used only to pick the FIRST chunk size so small problems
-# don't pay several host round-trips before the chunk grows
+# conservative v5e throughputs for the two operator encodings, used only to
+# pick the FIRST chunk size so solves don't pay several host round-trips
+# before the measured-wall-clock adaptation kicks in:
+# - ELL gathers: measured 123M elems/s with random indices, halved;
+# - paged-ELL: measured 3.45M passes/s at knot scale (49 ms for 169k
+#   passes, solve/pell.py), with margin
 _GATHER_RATE = 6e7
+_PELL_PASS_RATE = 3.0e6
 
 
-def hierarchy_iter_cost(h) -> int:
-    """Estimated gathered elements per AMG-preconditioned CG iteration:
-    the CG matvec on the level-0 operator plus a symmetric V-cycle
-    (2 operator matvecs + P + P^T per level)."""
-    cost = 0
+def op_iter_seconds(op) -> float:
+    """Estimated seconds for ONE device application of an operator."""
+    if op is None:
+        return 0.0
+    if isinstance(op, pell.PagedMat):
+        return op.n_passes / _PELL_PASS_RATE
+    return op.vals.size / _GATHER_RATE
+
+
+def hierarchy_iter_seconds(h, l0=None) -> float:
+    """Estimated seconds per AMG-preconditioned CG iteration: the CG matvec
+    on the level-0 operator plus a symmetric V-cycle (2 operator matvecs +
+    P + P^T per level).  ``l0``: the solve operator standing in for a
+    skip_level0_A hierarchy's level 0."""
+    cost = 0.0
     for i, lvl in enumerate(h.levels):
-        nnz = lvl.A.vals.size if lvl.A is not None else h.l0_nnz
-        cost += (3 if i == 0 else 2) * nnz
-        cost += lvl.P.vals.size + lvl.PT.vals.size
-    return int(cost)
+        if lvl.A is not None:
+            a = op_iter_seconds(lvl.A)
+        elif l0 is not None:
+            a = op_iter_seconds(l0)
+        else:
+            a = h.l0_nnz / _GATHER_RATE
+        cost += (3 if i == 0 else 2) * a
+        cost += op_iter_seconds(lvl.P) + op_iter_seconds(lvl.PT)
+    return cost
 
 
 def _clamp_chunk(n: float) -> int:
@@ -148,7 +167,7 @@ def _zeroset_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
     mask = (jnp.arange(n) >= n_src).astype(b.dtype)
 
     def matvec(x):
-        return mask * ell.matvec(H, mask * x) + (1.0 - mask) * x
+        return mask * pell.apply(H, mask * x) + (1.0 - mask) * x
 
     # hierarchy is built on the SAME masked operator -> matvec0 = matvec
     precond = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH, matvec0=matvec)
@@ -166,11 +185,11 @@ def _none_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
     """Singular Poisson chunk: H phi = b with constants projected out
     (b pre-deflated by the caller)."""
     def matvec(x):
-        y = ell.matvec(H, x)
+        y = pell.apply(H, x)
         return y - jnp.mean(y)
 
     mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH,
-                       matvec0=lambda v: ell.matvec(H, v))
+                       matvec0=lambda v: pell.apply(H, v))
     precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
@@ -200,10 +219,10 @@ def _multiple_chunk(b, x0, H, diagH,
     proj = lambda v: (lambda w: w - jnp.mean(w))(pgroup(v))
 
     def matvec(x):
-        return proj(ell.matvec(H, x))
+        return proj(pell.apply(H, x))
 
     mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH,
-                       matvec0=lambda v: ell.matvec(H, v))
+                       matvec0=lambda v: pell.apply(H, v))
     precond = lambda r: proj(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
@@ -214,7 +233,8 @@ def _multiple_chunk(b, x0, H, diagH,
 
 
 def _run_chunked(chunk_fn, x0, tol: float, maxiter: int, chunk: Optional[int] = None,
-                 iter_cost: Optional[int] = None):
+                 iter_seconds: Optional[float] = None,
+                 stats: Optional[dict] = None):
     """Host loop: run bounded Krylov chunks until converged or maxiter.
     chunk_fn(x0, chunk, stall) -> (x, iters, residual, stall'); residual is
     the solver's preconditioned-norm estimate, already compared against tol
@@ -222,16 +242,21 @@ def _run_chunked(chunk_fn, x0, tol: float, maxiter: int, chunk: Optional[int] = 
 
     The chunk bound and tol are DYNAMIC jit arguments, so all chunk sizes
     share one compiled program.  On TPU the size adapts: the first bound
-    comes from the ``iter_cost`` estimate (gathered elements per iteration /
-    _GATHER_RATE), then wall-clock measurements (the int(iters) read blocks
-    on the program) steer toward _CHUNK_TARGET_S per program (the worker
-    watchdog kills minutes-long programs).  Elsewhere: one unbounded chunk."""
+    comes from the ``iter_seconds`` estimate (op_iter_seconds), then
+    wall-clock measurements (the int(iters) read blocks on the program)
+    steer toward _CHUNK_TARGET_S per program (the worker watchdog kills
+    minutes-long programs).  Elsewhere: one unbounded chunk.
+
+    ``stats``: optional dict accumulating per-chunk observability — a
+    ``chunks`` list of (iterations, wall seconds) per device program, across
+    every call sharing the dict (the f64 refinement passes reuse one) — so
+    perf regressions show up in a JSON diff, not a timeout (VERDICT r2 #8)."""
     adaptive = chunk is None and jax.default_backend() == "tpu"
     if chunk is None:
         if not adaptive:
             chunk = maxiter
-        elif iter_cost:
-            chunk = _clamp_chunk(_CHUNK_TARGET_S / (iter_cost / _GATHER_RATE))
+        elif iter_seconds:
+            chunk = _clamp_chunk(_CHUNK_TARGET_S / iter_seconds)
         else:
             chunk = CHUNK_ITERS
     total = 0
@@ -247,6 +272,9 @@ def _run_chunked(chunk_fn, x0, tol: float, maxiter: int, chunk: Optional[int] = 
         done = int(iters)
         dt = time.perf_counter() - t0
         total += done
+        if stats is not None:
+            stats.setdefault("chunks", []).append(
+                {"iters": done, "s": round(dt, 3)})
         if done < this:  # converged (or stalled at the floor) inside the chunk
             break
         if adaptive and done:
@@ -358,7 +386,8 @@ class SignedHeatTetSolver:
     (operators rebuilt only when geometry/hCoef change, main.cpp:113,146-147)."""
 
     def __init__(self, mesh=None):
-        """``mesh``: optional 1-D jax.sharding.Mesh (shm3d.parallel.device_mesh)
+        """``mesh``: optional jax.sharding.Mesh (shm3d.parallel.device_mesh;
+        1-D single-slice or 2-D ("s", "d") multi-slice)
         — Step 1 (the tet hot spot, O(n_tets x n_sources)) then runs the
         ring schedule: barycenter queries stay device-resident, source
         shards rotate over ICI.  Step 3's unstructured segment-sum solves
@@ -426,6 +455,7 @@ class SignedHeatTetSolver:
                     src_face_components=cached.get("cr_face_components"),
                     src_face_areas=cached.get("cr_face_areas"),
                 )
+            self.last_stats.update(cached["cr_path"].last_stats)
         else:
             self.last_stats["step3_path"] = "vertex"
             with tm.phase("step 3 (divergence + constrained solve)"):
@@ -626,7 +656,8 @@ class SignedHeatTetSolver:
         op = (cached["H_ell"], cached["diagH"])
         h = self._hierarchy(cached, mode, mesh.n_src, dtype)
         mg = (h.levels, h.coarse_inv)
-        cost = hierarchy_iter_cost(h)
+        cost = hierarchy_iter_seconds(h, l0=cached["H_ell"])
+        solve_stats: dict = {}
         H64 = cached["H_scipy"]
         div64 = np.asarray(div, np.float64)
         zeros = ell.replicated(np.zeros(n), dtype, self.mesh)
@@ -639,7 +670,7 @@ class SignedHeatTetSolver:
                 lambda x0, c, s: _zeroset_chunk(
                     b, x0, *op, *mg, s, n=n, n_src=mesh.n_src, tol=tol,
                     chunk=c, mg_sizes=h.sizes),
-                zeros, tol, maxiter, iter_cost=cost)
+                zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
             phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
                                                device_mesh=self.mesh)
             phi = jnp.asarray(phi, dtype)
@@ -667,7 +698,7 @@ class SignedHeatTetSolver:
                     b, x0, *op,
                     gparts["elems"], gparts["gids"], gparts["winv"], *mg, s,
                     n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes),
-                zeros, tol, maxiter, iter_cost=cost)
+                zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
             x, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
                                                device_mesh=self.mesh)
             phi = self._shift(jnp.asarray(x, dtype), mesh, cached)
@@ -678,11 +709,15 @@ class SignedHeatTetSolver:
             run = lambda b: _run_chunked(
                 lambda x0, c, s: _none_chunk(
                     b, x0, *op, *mg, s, n=n, tol=tol, chunk=c, mg_sizes=h.sizes),
-                zeros, tol, maxiter, iter_cost=cost)
+                zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
             phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
                                                device_mesh=self.mesh)
             phi = self._shift(jnp.asarray(phi, dtype), mesh, cached)
         tm.note(f"krylov iters={int(iters)} rel_res={float(res):.2e}")
+        self.last_stats.update(
+            iters=int(iters), rel_res=float(res),
+            chunks=solve_stats.get("chunks", []),
+            amg_sizes=list(h.sizes), iter_seconds_est=round(cost, 4))
         self.last_stats.update(iters=int(iters), residual=float(res))
         return phi
 

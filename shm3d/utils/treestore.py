@@ -38,17 +38,32 @@ import numpy as np
 from . import diskcache
 
 #: bump when the prepared-artifact layout or any producer algorithm changes
-TREE_VERSION = "t1"
+TREE_VERSION = "t4"  # t4: paged only for square ops; packed seg encoding
 
 # name -> class; classes opt in to serialization explicitly so manifests can
 # never instantiate arbitrary types
 _REGISTRY: Dict[str, type] = {}
+# name -> (pack, unpack): optional compact on-disk encodings.  pack(obj)
+# returns a plain tree (dicts/arrays/scalars); unpack(tree) rebuilds the
+# object.  Used where the in-memory layout is deliberately padded (e.g. the
+# paged-ELL panels are ~16%-occupied dense passes: solve/pell.py registers a
+# nonzero-slot encoding that cuts the knot artifact by ~1.3 GB).  Packed
+# leaves are decoded eagerly at load (a scatter), trading the pure-mmap
+# laziness for less IO.
+_PACKERS: Dict[str, tuple] = {}
 
 
 def register(cls: type) -> type:
     """Class decorator/function registering a NamedTuple or dataclass for
     tree (de)serialization."""
     _REGISTRY[cls.__name__] = cls
+    return cls
+
+
+def register_packed(cls: type, pack, unpack) -> type:
+    """Register a compact on-disk encoding for ``cls`` (see _PACKERS)."""
+    _REGISTRY[cls.__name__] = cls
+    _PACKERS[cls.__name__] = (pack, unpack)
     return cls
 
 
@@ -60,6 +75,11 @@ def _encode(obj, leaves: Dict[str, np.ndarray], path: str):
     if isinstance(obj, np.ndarray):
         leaves[path] = obj
         return {"t": "arr", "k": path}
+    name = type(obj).__name__
+    if name in _PACKERS and not isinstance(obj, type):
+        pack, _ = _PACKERS[name]
+        return {"t": "packed", "c": name,
+                "f": _encode(pack(obj), leaves, f"{path}!")}
     if obj is None or isinstance(obj, (bool, str)):
         return {"t": "val", "v": obj}
     if isinstance(obj, (int, np.integer)):
@@ -98,6 +118,10 @@ def _decode(node, arrays):
         return arrays(node["k"])
     if t == "val":
         return node["v"]
+    if t == "packed":
+        if node["c"] not in _PACKERS:
+            raise TypeError(f"unregistered packed class: {node['c']}")
+        return _PACKERS[node["c"]][1](_decode(node["f"], arrays))
     if t in ("nt", "dc"):
         cls = _REGISTRY.get(node["c"])
         if cls is None:

@@ -115,30 +115,41 @@ def decimate(pts: np.ndarray, faces: np.ndarray, target_faces: int):
     return pos[used], remap[out_f]
 
 
-def check_watertight(faces: np.ndarray) -> None:
+def check_manifold(faces: np.ndarray, closed: bool) -> None:
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]], faces[:, [2, 0]]])
     e.sort(axis=1)
     _, counts = np.unique(e, axis=0, return_counts=True)
-    assert counts.max() == 2 and counts.min() == 2, "fixture must be watertight"
+    assert counts.max() == 2, "fixture must stay edge-manifold"
+    if closed:
+        assert counts.min() == 2, "fixture must be watertight"
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--data", default=os.environ.get("SHM3D_DATA", "/root/reference/data"))
     ap.add_argument("--target-faces", type=int, default=560)
+    ap.add_argument("--knot-target-faces", type=int, default=1600,
+                    help="knot_dec.obj size (genus-1; the link condition "
+                         "preserves its topology through decimation)")
     args = ap.parse_args()
 
     from shm3d.io.mesh_io import read_geometry, write_obj
 
-    m = read_geometry(os.path.join(args.data, "bunny_small.obj"))
-    v, f = decimate(np.asarray(m.vertices), np.asarray(m.faces, np.int64),
-                    args.target_faces)
-    check_watertight(f)
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data",
-                       "bunny_dec.obj")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
-    write_obj(out, v, [list(x) for x in f])
-    print(f"wrote {out}: {v.shape[0]}v {f.shape[0]}f")
+    here = os.path.dirname(os.path.abspath(__file__))
+    for asset, target, name, closed in [
+        ("bunny_small.obj", args.target_faces, "bunny_dec.obj", True),
+        # knot.obj is an OPEN scan (5,620 boundary edges in the reference
+        # asset itself) — require manifoldness, not closedness
+        ("knot.obj", args.knot_target_faces, "knot_dec.obj", False),
+    ]:
+        m = read_geometry(os.path.join(args.data, asset))
+        v, f = decimate(np.asarray(m.vertices), np.asarray(m.faces, np.int64),
+                        target)
+        check_manifold(f, closed)
+        out = os.path.join(here, "data", name)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        write_obj(out, v, [list(x) for x in f])
+        print(f"wrote {out}: {v.shape[0]}v {f.shape[0]}f")
 
 
 if __name__ == "__main__":

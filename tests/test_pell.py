@@ -1,0 +1,181 @@
+"""Paged-ELL SpMV (solve/pell.py) + locality orderings (utils/order.py).
+
+The CPU suite exercises the pass decomposition and the XLA-fallback
+arithmetic (bit-compatible semantics with the Mosaic kernel); one tiny case
+runs the actual Pallas kernel through the interpreter.  Chip-speed numbers
+live in BENCH_TABLE.md, not here.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from shm3d.solve import ell, pell
+from shm3d.utils import order, treestore
+
+
+def _rand_csr(rng, n, m, nnz):
+    rows = rng.integers(0, n, nnz)
+    cols = rng.integers(0, m, nnz)
+    vals = rng.standard_normal(nnz)
+    return sp.coo_matrix((vals, (rows, cols)), shape=(n, m)).tocsr()
+
+
+@pytest.mark.parametrize("n,m,nnz", [
+    (5000, 5000, 40000),      # square, multi-tile, multi-page
+    (3000, 7000, 25000),      # rectangular wide
+    (7000, 900, 25000),       # rectangular tall (single source page)
+    (100, 100, 300),          # single tile
+    (1, 1, 1),                # degenerate
+])
+def test_paged_matvec_matches_scipy(n, m, nnz):
+    rng = np.random.default_rng(0)
+    A = _rand_csr(rng, n, m, nnz)
+    P = pell.build_paged(A, np.float32)
+    assert P.nnz == A.nnz
+    x = rng.standard_normal(m).astype(np.float32)
+    y = np.asarray(pell.matvec(P, jnp.asarray(x)))
+    assert y.shape == (n,)
+    ref = A @ x.astype(np.float64)
+    assert np.abs(y - ref).max() <= 1e-5 * max(np.abs(ref).max(), 1.0)
+
+
+def test_paged_duplicate_row_page_entries():
+    # rows with many entries in ONE page exercise the multiplicity passes
+    rng = np.random.default_rng(1)
+    n = 2500
+    rows = np.repeat(np.arange(n), 9)
+    cols = (rows + rng.integers(-40, 41, rows.size)) % n
+    vals = rng.standard_normal(rows.size)
+    A = sp.coo_matrix((vals, (rows, cols)), shape=(n, n)).tocsr()
+    P = pell.build_paged(A, np.float32)
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(pell.matvec(P, jnp.asarray(x)))
+    ref = A @ x.astype(np.float64)
+    np.testing.assert_allclose(y, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
+
+
+def test_paged_segmentation(monkeypatch):
+    # force many segments; every tile must land in exactly one
+    monkeypatch.setattr(pell, "_SEG_TILES", 2)
+    monkeypatch.setattr(pell, "_SEG_PASSES", 40)
+    rng = np.random.default_rng(2)
+    A = _rand_csr(rng, 9000, 9000, 60000)
+    P = pell.build_paged(A, np.float32)
+    assert len(P.segs) > 2
+    covered = []
+    for s in P.segs:
+        covered.extend(range(s.t0, s.t0 + s.n_tiles))
+    assert covered == list(range(-(-9000 // pell.PAGE)))
+    x = rng.standard_normal(9000).astype(np.float32)
+    y = np.asarray(pell.matvec(P, jnp.asarray(x)))
+    ref = A @ x.astype(np.float64)
+    np.testing.assert_allclose(y, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
+
+
+def test_paged_empty_tiles_and_matrix():
+    # rows 1024..2047 empty -> a dummy pass must still zero their tile
+    A = sp.csr_matrix((np.ones(2), ([0, 2100], [5, 7])), shape=(2200, 2200))
+    P = pell.build_paged(A, np.float32)
+    x = np.ones(2200, np.float32)
+    y = np.asarray(pell.matvec(P, jnp.asarray(x)))
+    assert y[0] == 1.0 and y[2100] == 1.0 and np.count_nonzero(y) == 2
+    Z = pell.build_paged(sp.csr_matrix((64, 64)), np.float32)
+    assert np.all(np.asarray(pell.matvec(Z, jnp.ones(64, jnp.float32))) == 0)
+
+
+def test_paged_interpret_kernel_small():
+    # the actual Mosaic kernel logic, via the Pallas interpreter
+    rng = np.random.default_rng(3)
+    A = _rand_csr(rng, 1500, 1500, 6000)
+    P = pell.build_paged(A, np.float32)
+    x = rng.standard_normal(1500).astype(np.float32)
+    ref = A @ x.astype(np.float64)
+    old = pell.FORCE_INTERPRET
+    pell.FORCE_INTERPRET = True
+    try:
+        y = np.asarray(pell.matvec(P, jnp.asarray(x)))
+    finally:
+        pell.FORCE_INTERPRET = old
+    np.testing.assert_allclose(y, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
+
+
+def test_paged_jit_argument_and_apply():
+    rng = np.random.default_rng(4)
+    A = _rand_csr(rng, 4000, 4000, 20000)
+    P = pell.build_paged(A, np.float32)
+    E = ell.build_ell(A, np.float32)
+    x = rng.standard_normal(4000).astype(np.float32)
+    f = jax.jit(lambda op, v: pell.apply(op, v))
+    ref = A @ x.astype(np.float64)
+    for op in (P, E):
+        y = np.asarray(f(op, jnp.asarray(x)))
+        np.testing.assert_allclose(y, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
+
+
+def test_paged_treestore_roundtrip(tmp_path, monkeypatch):
+    monkeypatch.setenv("SHM3D_CACHE_DIR", str(tmp_path))
+    rng = np.random.default_rng(5)
+    A = _rand_csr(rng, 3000, 2000, 9000)
+    P = pell.build_paged(A, np.float32)
+    treestore.save_tree(("pelltest",), dict(P=P))
+    P2 = treestore.load_tree(("pelltest",))["P"]
+    assert P2.n_rows == P.n_rows and P2.nnz == P.nnz
+    x = rng.standard_normal(2000).astype(np.float32)
+    y1 = np.asarray(pell.matvec(P, jnp.asarray(x)))
+    y2 = np.asarray(pell.matvec(P2, jnp.asarray(x)))
+    np.testing.assert_array_equal(y1, y2)
+
+
+def test_morton_order_locality():
+    rng = np.random.default_rng(6)
+    pts = rng.random((5000, 3))
+    perm = order.morton_order(pts)
+    assert np.array_equal(np.sort(perm), np.arange(5000))
+    # consecutive Morton neighbors are spatially close on average
+    d_m = np.linalg.norm(np.diff(pts[perm], axis=0), axis=1).mean()
+    d_r = np.linalg.norm(np.diff(pts, axis=0), axis=1).mean()
+    assert d_m < 0.3 * d_r
+    inv = order.inverse_permutation(perm)
+    assert np.array_equal(perm[inv], np.arange(5000))
+
+
+def test_morton_reduces_pass_count():
+    # a 3-D nearest-neighbor graph under a random numbering vs Morton
+    # numbering: the locality order must cut the pass count several-fold
+    rng = np.random.default_rng(7)
+    k = 40
+    grid = np.stack(np.meshgrid(*[np.arange(k)] * 3, indexing="ij"),
+                    -1).reshape(-1, 3).astype(np.float64)
+    n = grid.shape[0]
+    scram = rng.permutation(n)           # random original numbering
+    pts = grid[scram]
+    lin = {tuple(p): i for i, p in enumerate(pts.astype(int).tolist())}
+    rows, cols = [], []
+    for d in ([1, 0, 0], [0, 1, 0], [0, 0, 1]):
+        nb = pts + d
+        ok = (nb < k).all(axis=1)
+        r = np.flatnonzero(ok)
+        c = np.array([lin[tuple(p)] for p in nb[ok].astype(int).tolist()])
+        rows += [r, c]; cols += [c, r]
+    rows = np.concatenate(rows); cols = np.concatenate(cols)
+    A = sp.coo_matrix((np.ones(rows.size), (rows, cols)), shape=(n, n)).tocsr()
+    perm = order.morton_order(pts)
+    inv = order.inverse_permutation(perm)
+    Am = A[perm][:, perm]
+    p_scram = pell.build_paged(A, np.float32).n_passes
+    p_mort = pell.build_paged(Am, np.float32).n_passes
+    assert p_mort * 3 < p_scram, (p_mort, p_scram)
+    assert np.array_equal(perm[inv], np.arange(n))
+
+
+def test_first_row_order():
+    P = sp.csr_matrix(np.array([
+        [0.0, 1.0, 0.0],
+        [1.0, 0.0, 0.0],
+        [0.0, 0.0, 1.0],
+    ]))
+    o = order.first_row_order(P)
+    assert list(o) == [1, 0, 2]
