@@ -27,15 +27,14 @@ Morton permutation into the matrix; tet/cr_solver does) the knot CR
 operator packs into ~169k passes (~16% slot utilization), i.e. ~2 GB of
 sequential traffic per matvec — bandwidth-bound at ~3 ms vs 240 ms.
 
-Memory/SMEM budget: per-pass metadata (output tile, source page) is packed
-into ONE int32 scalar-prefetch word — ``local_tile << 20 | page`` — because
-the index maps of the x-page stream and the output tile need it before the
-kernel body runs, and SMEM is 1 MB total (three separate int32 arrays at
-knot scale = 2 MB: measured compile OOM).  Matrices are split into
-SEGMENTS of at most _SEG_TILES output tiles and _SEG_PASSES passes; each
-segment is one ``pallas_call`` writing its own tile range, concatenated on
-the way out.  The first-pass-of-tile flag (output zeroing) is derived
-in-kernel by comparing adjacent metadata words.
+Kernel form: ONE pallas_call per segment with an in-kernel fori over passes
+and manual DMA double-buffering (_pipe_kernel) — value/index chunks and
+metadata super-chunks stream HBM->VMEM/SMEM, x pages prefetch a few deep
+with modulo scheduling, and the output tile accumulates in VMEM, flushing
+on tile change.  Per-pass metadata packs into one int32
+``local_tile << 20 | page`` word (SMEM-resident super-chunks).  Matrices
+split into SEGMENTS of at most _SEG_TILES output tiles (the 11-bit
+local_tile field) and _SEG_PASSES passes, concatenated on the way out.
 
 Intended use: the big CR/vertex Step-3 operators and their AMG hierarchy
 levels on a single chip (tet/cr_solver.py, tet/solver.py).  Multi-chip
@@ -71,22 +70,22 @@ _SEG_TILES = 2048           # local_tile must fit in 11 bits (i32 sign-safe)
 _SEG_PASSES = 150_000       # ~600 KB of i32 scalar-prefetch per call
 _PAGE_BITS = 20             # page must fit below the local_tile field
 
-# The Mosaic compile of one segment kernel costs 52 s (T=18k) to 300 s
-# (T=169k) over the remote-compile tunnel, keyed by the static shape triple
-# (T, n_tiles, n_source_pages).  Segments are therefore BUCKETED: pass
-# counts and tile/page counts round up to a coarse geometric grid so every
-# similarly-sized operator (across AMG levels, meshes, assets) reuses a
-# compiled kernel.  Padding costs dummy passes (zero values, page 0, last
-# tile) — bandwidth, not correctness.
+# Compiled kernels are keyed by the static shape triple (T, n_tiles,
+# n_source_pages); segments are BUCKETED — pass counts and tile/page counts
+# round up to a coarse geometric grid — so similarly-sized operators
+# (across AMG levels, meshes, assets) reuse a compiled kernel and the
+# persistent compile cache.  Padding costs dummy passes (zero values,
+# page 0, last tile) — bandwidth, not correctness.
 _T_BUCKETS_BASE = 1024
 
 
 def _bucket(n: int, base: int = _T_BUCKETS_BASE) -> int:
-    """Smallest base * 1.5^k >= n (coarse geometric grid)."""
+    """Smallest base * 1.5^k >= n, rounded up to a 1024 multiple (the
+    pipelined kernel's meta super-chunk size; coarse geometric grid)."""
     b = base
     while b < n:
         b = int(b * 3 // 2)
-    return b
+    return -(-b // 1024) * 1024
 
 
 def _bucket_pow2(n: int) -> int:
@@ -102,7 +101,7 @@ FORCE_INTERPRET = False
 
 
 @functools.partial(jax.tree_util.register_dataclass,
-                   data_fields=["vals", "idx", "meta"],
+                   data_fields=["vals", "idx", "meta", "nT"],
                    meta_fields=["t0", "n_tiles"])
 @dataclasses.dataclass(frozen=True)
 class PagedSeg:
@@ -112,6 +111,10 @@ class PagedSeg:
     vals: jnp.ndarray   # (T, 8, 128) compute dtype, slot = row % 1024
     idx: jnp.ndarray    # (T, 8, 128) int32, col % 1024 (sublane*128 + lane)
     meta: jnp.ndarray   # (T,) int32, (local_tile << 20) | page
+    nT: jnp.ndarray     # (1,) int32 == T as a RUNTIME value: feeding the
+                        # kernel's loop bounds a trace-time constant lets
+                        # the compiler specialize on it — measured 151 s
+                        # Mosaic compile vs 4.5 s with a dynamic bound
     t0: int
     n_tiles: int
 
@@ -137,7 +140,8 @@ def _unpack_seg(d: dict) -> PagedSeg:
     vals[pos] = d["val"]
     idx[pos] = np.asarray(d["idx"], np.int32)
     return PagedSeg(vals.reshape(T, 8, 128), idx.reshape(T, 8, 128),
-                    np.asarray(d["meta"]), int(d["t0"]), int(d["n_tiles"]))
+                    np.asarray(d["meta"]), np.array([T], np.int32),
+                    int(d["t0"]), int(d["n_tiles"]))
 
 
 treestore.register_packed(PagedSeg, _pack_seg, _unpack_seg)
@@ -291,7 +295,7 @@ def _make_seg(vals3, idx3, local_tile, page, t0: int, n_tiles: int,
     idx_p = np.zeros((T_b, PAGE), np.int32)
     idx_p[:Tr] = idx3
     return PagedSeg(vals_p.reshape(-1, 8, 128), idx_p.reshape(-1, 8, 128),
-                    meta, t0, nt_b)
+                    meta, np.array([T_b], np.int32), t0, nt_b)
 
 
 def _empty_seg(t0: int, n_tiles: int, dtype) -> PagedSeg:
@@ -302,27 +306,125 @@ def _empty_seg(t0: int, n_tiles: int, dtype) -> PagedSeg:
                      np.zeros(n_tiles, np.int64), t0, n_tiles, dtype)
 
 
-def _seg_kernel(meta_ref, x_ref, v_ref, i_ref, o_ref):
-    i = pl.program_id(0)
-    word = meta_ref[i]
-    tile = word >> _PAGE_BITS
-    prev = meta_ref[jnp.maximum(i - 1, 0)] >> _PAGE_BITS
-    first = jnp.logical_or(i == 0, prev != tile)
+# Pipeline geometry of the Mosaic kernel (see _pipe_kernel): values/indices
+# stream in CH-pass chunks (double-buffered VMEM), pass metadata in
+# 4*CH-pass super-chunks (1-D int32 HBM->SMEM DMAs must slice on 1024
+# boundaries), x pages prefetch XD deep with modulo scheduling.
+_CH = 256
+_MCH = 4 * _CH
+_XD = 8
 
-    @pl.when(first)
+
+def _pipe_kernel(nT_ref, meta_hbm, x_hbm, v_hbm, i_hbm, o_hbm,
+                 meta_s, vbuf, ibuf, xbuf, acc, csem, xsem, osem, msem):
+    """Whole-matrix SpMV in ONE kernel invocation: an in-kernel fori over
+    passes with manual DMA double-buffering.
+
+    Why not a Pallas grid over passes with scalar-prefetch index maps (the
+    first design): its Mosaic compile cost scales with the pass count —
+    measured 52 s at T=18k and 300 s at T=169k PER EMBEDDED INSTANCE, and a
+    CG+V-cycle chunk program embeds the kernels ~10 times (the knot Step-3
+    compile never returned in 30 minutes).  This form compiles the loop
+    body once: 4.5 s cold at T=18k, independent of T — and runs ~2x faster
+    (2.7 ms at T=18k = 6.8M passes/s vs 3.45M/s: the per-grid-step pipeline
+    overhead exceeded the pass's actual VPU work).
+
+    Output tiles accumulate in VMEM and flush synchronously on tile change
+    (~1 flush per ~60 passes; the wait amortizes to noise).  Dummy passes
+    (zero values) pad T to a _MCH multiple."""
+    n_ch = nT_ref[0] // _CH
+    n_m = nT_ref[0] // _MCH
+
+    def meta_copy(s, slot):
+        return pltpu.make_async_copy(
+            meta_hbm.at[pl.ds(s * _MCH, _MCH)],
+            meta_s.at[pl.ds(slot * _MCH, _MCH)], msem.at[slot])
+
+    def chunk_copies(c, slot):
+        return (pltpu.make_async_copy(v_hbm.at[pl.ds(c * _CH, _CH)],
+                                      vbuf.at[slot], csem.at[slot, 0]),
+                pltpu.make_async_copy(i_hbm.at[pl.ds(c * _CH, _CH)],
+                                      ibuf.at[slot], csem.at[slot, 1]))
+
+    def x_copy(page, slot):
+        return pltpu.make_async_copy(x_hbm.at[pl.ds(page * 8, 8)],
+                                     xbuf.at[slot], xsem.at[slot])
+
+    mask = (1 << _PAGE_BITS) - 1
+    meta_copy(0, 0).start()
+    for dma in chunk_copies(0, 0):
+        dma.start()
+
+    def outer(c, cur_tile):
+        slot = c % 2
+        sc = c // 4
+        mslot = sc % 2
+
+        @pl.when(c + 1 < n_ch)
+        def _():
+            for dma in chunk_copies(c + 1, (c + 1) % 2):
+                dma.start()
+
+        @pl.when(c % 4 == 0)
+        def _():
+            meta_copy(sc, mslot).wait()
+
+            @pl.when(sc + 1 < n_m)
+            def _():
+                meta_copy(sc + 1, 1 - mslot).start()
+
+        for dma in chunk_copies(c, slot):
+            dma.wait()
+        base = mslot * _MCH + (c % 4) * _CH
+
+        # prologue: prefetch the first _XD pages of this chunk
+        for d in range(_XD):
+            x_copy(meta_s[base + d] & mask, d).start()
+
+        def inner(j, cur_tile):
+            word = meta_s[base + j]
+            tile = word >> _PAGE_BITS
+            xslot = j % _XD
+
+            @pl.when(tile != cur_tile)
+            def _():
+                @pl.when(cur_tile >= 0)
+                def _():
+                    dma = pltpu.make_async_copy(
+                        acc, o_hbm.at[pl.ds(cur_tile * 8, 8)], osem)
+                    dma.start()
+                    dma.wait()
+                acc[...] = jnp.zeros((8, 128), acc.dtype)
+
+            x_copy(word & mask, xslot).wait()
+            pagev = xbuf[xslot]
+
+            # prefetch for pass j+_XD into the slot just freed
+            @pl.when(j + _XD < _CH)
+            def _():
+                x_copy(meta_s[base + j + _XD] & mask, xslot).start()
+
+            idx = ibuf[slot, j]
+            lane = idx & 127
+            sub = idx >> 7
+            a = jnp.zeros((8, 128), acc.dtype)
+            for k in range(8):
+                rowk = jnp.broadcast_to(pagev[k, :][None, :], (8, 128))
+                a = a + jnp.where(sub == k,
+                                  jnp.take_along_axis(rowk, lane, axis=1), 0.0)
+            acc[...] = acc[...] + vbuf[slot, j] * a
+            return tile
+
+        return jax.lax.fori_loop(0, _CH, inner, cur_tile)
+
+    cur_tile = jax.lax.fori_loop(0, n_ch, outer, jnp.int32(-1))
+
+    @pl.when(cur_tile >= 0)
     def _():
-        o_ref[:] = jnp.zeros_like(o_ref)
-
-    pagev = x_ref[:]                     # (8, 128) source page
-    idx = i_ref[0]                       # (8, 128) packed in-page index
-    lane = idx & 127
-    sub = idx >> 7
-    acc = jnp.zeros((8, 128), pagev.dtype)
-    for k in range(8):
-        rowk = jnp.broadcast_to(pagev[k, :][None, :], (8, 128))
-        acc = acc + jnp.where(sub == k,
-                              jnp.take_along_axis(rowk, lane, axis=1), 0.0)
-    o_ref[:] = o_ref[:] + v_ref[0] * acc
+        dma = pltpu.make_async_copy(acc, o_hbm.at[pl.ds(cur_tile * 8, 8)],
+                                    osem)
+        dma.start()
+        dma.wait()
 
 
 def _seg_matvec_xla(seg: PagedSeg, x3: jnp.ndarray) -> jnp.ndarray:
@@ -344,33 +446,37 @@ def _seg_matvec(seg: PagedSeg, x3: jnp.ndarray) -> jnp.ndarray:
         return _seg_matvec_xla(seg, x3)
     T = seg.vals.shape[0]
     n_tiles = seg.n_tiles
-    page_mask = (1 << _PAGE_BITS) - 1
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(T,),
-        in_specs=[
-            pl.BlockSpec((8, 128), lambda i, meta: (meta[i] & page_mask, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, meta: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 128), lambda i, meta: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((8, 128),
-                               lambda i, meta: (meta[i] >> _PAGE_BITS, 0),
-                               memory_space=pltpu.VMEM),
-    )
     nbytes = seg.vals.dtype.itemsize
     return pl.pallas_call(
-        _seg_kernel,
-        grid_spec=grid_spec,
+        _pipe_kernel,
+        grid=(),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         out_shape=jax.ShapeDtypeStruct((n_tiles * 8, 128), seg.vals.dtype),
+        scratch_shapes=[
+            pltpu.SMEM((2 * _MCH,), jnp.int32),
+            pltpu.VMEM((2, _CH, 8, 128), seg.vals.dtype),
+            pltpu.VMEM((2, _CH, 8, 128), jnp.int32),
+            pltpu.VMEM((_XD, 8, 128), seg.vals.dtype),
+            pltpu.VMEM((8, 128), seg.vals.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((_XD,)),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
         cost_estimate=pl.CostEstimate(
             flops=T * PAGE * 2 * 8,
             bytes_accessed=T * PAGE * (2 * nbytes + 4 + nbytes),
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=FORCE_INTERPRET and jax.default_backend() != "tpu",
-    )(seg.meta, x3, seg.vals, seg.idx)
+    )(seg.nT, seg.meta, x3, seg.vals, seg.idx)
 
 
 def matvec(p: PagedMat, x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:

@@ -38,7 +38,7 @@ import numpy as np
 from . import diskcache
 
 #: bump when the prepared-artifact layout or any producer algorithm changes
-TREE_VERSION = "t4"  # t4: paged only for square ops; packed seg encoding
+TREE_VERSION = "t5"  # t5: pipelined paged kernel (PagedSeg.nT)
 
 # name -> class; classes opt in to serialization explicitly so manifests can
 # never instantiate arbitrary types

@@ -179,3 +179,29 @@ def test_first_row_order():
     ]))
     o = order.first_row_order(P)
     assert list(o) == [1, 0, 2]
+
+
+def test_amg_pages_only_square_levels():
+    """Transfer operators must NEVER be paged: their cross-space passes run
+    percent-occupied (the knot CR restriction paged to 9.8 GB and OOM'd the
+    chip).  Level operators at/above the threshold must be paged, and the
+    hierarchy still preconditions."""
+    from shm3d.solve import amg
+
+    n = 6000
+    rng = np.random.default_rng(8)
+    # 1-D Laplacian + noise: plenty of nnz, safe SPD
+    main = 2.1 * np.ones(n)
+    off = -1.0 * np.ones(n - 1)
+    H = sp.diags([off, main, off], [-1, 0, 1]).tocsr()
+    h = amg.build_hierarchy_host(H, np.float32, paged_min_nnz=1000)
+    assert isinstance(h.levels[0].A, pell.PagedMat)
+    for lvl in h.levels:
+        assert not isinstance(lvl.P, pell.PagedMat)
+        assert not isinstance(lvl.PT, pell.PagedMat)
+    # the device preconditioner runs with mixed encodings
+    hd = amg.hierarchy_to_device(h)
+    M = amg.make_preconditioner(hd)
+    r = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    z = np.asarray(M(r))
+    assert np.isfinite(z).all() and np.abs(z).max() > 0
