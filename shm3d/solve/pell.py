@@ -445,6 +445,10 @@ def _seg_matvec(seg: PagedSeg, x3: jnp.ndarray) -> jnp.ndarray:
     if jax.default_backend() != "tpu" and not FORCE_INTERPRET:
         return _seg_matvec_xla(seg, x3)
     T = seg.vals.shape[0]
+    if T % _MCH:
+        raise ValueError(
+            f"segment pass count {T} not a multiple of {_MCH} — artifact "
+            "built by an older pell version; rebuild the operator cache")
     n_tiles = seg.n_tiles
     nbytes = seg.vals.dtype.itemsize
     return pl.pallas_call(

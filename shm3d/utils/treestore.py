@@ -38,7 +38,7 @@ import numpy as np
 from . import diskcache
 
 #: bump when the prepared-artifact layout or any producer algorithm changes
-TREE_VERSION = "t5"  # t5: pipelined paged kernel (PagedSeg.nT)
+TREE_VERSION = "t4"  # t4: paged square ops only; packed seg encoding
 
 # name -> class; classes opt in to serialization explicitly so manifests can
 # never instantiate arbitrary types

@@ -205,3 +205,25 @@ def test_amg_pages_only_square_levels():
     r = jnp.asarray(rng.standard_normal(n), jnp.float32)
     z = np.asarray(M(r))
     assert np.isfinite(z).all() and np.abs(z).max() > 0
+
+
+def test_cr_paged_path_matches_ell(monkeypatch, tmp_path):
+    """The CR Morton-relabel + paged-operator plumbing must reproduce the
+    plain-ELL path bit-for-bit in intent (same solve, permutation baked
+    in): force the paged threshold to zero and compare full tet solves."""
+    monkeypatch.setenv("SHM3D_CACHE_DIR", str(tmp_path))
+    from shm3d import SignedHeatOptions
+    from shm3d.geometry.procedural import make_icosphere
+    from shm3d.tet import cr_solver
+    from shm3d.tet.solver import SignedHeatTetSolver
+
+    mesh = make_icosphere(2)
+    opts = SignedHeatOptions(dtype="float32", disk_cache=False)
+    ref = SignedHeatTetSolver().compute_distance(mesh, opts)
+    monkeypatch.setattr(cr_solver, "PAGED_MIN_NNZ", 1)
+    solver = SignedHeatTetSolver()
+    res = solver.compute_distance(mesh, opts)
+    assert solver.last_stats["step3_path"] == "crouzeix-raviart"
+    rel = np.linalg.norm(np.asarray(res.phi) - np.asarray(ref.phi)) / \
+        np.linalg.norm(np.asarray(ref.phi))
+    assert rel < 1e-6, rel
