@@ -115,7 +115,7 @@ def main():
         rel_res1 = solver.last_stats.get("refine_rel_res")
 
         # f64 defect-corrected reference
-        opts_ref = opts.with_(refine_steps=6, refine_target=1e-11)
+        opts_ref = opts.with_(refine_steps=10, refine_target=1e-11)
         res_ref = solver.compute_distance(geom, opts_ref)
         phi_ref = res_ref.phi
         ref_nrm = float(np.linalg.norm(phi_ref))

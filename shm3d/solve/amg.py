@@ -35,6 +35,11 @@ import numpy as np
 from . import ell, pell
 from ..utils import order, treestore
 
+#: transfer operators at/above this nnz with ELL padding waste > 1.5x build
+#: as ell.SlicedEll on the single-chip paged path (build_hierarchy_host
+#: build_op); below it the single panel is small enough not to matter
+SLICED_MIN_NNZ = 200_000
+
 
 @treestore.register
 class AMGLevel(NamedTuple):
@@ -288,6 +293,14 @@ def build_hierarchy_host(
         if (square and paged_min_nnz is not None
                 and M.nnz >= paged_min_nnz and np_dtype == np.float32):
             return pell.build_paged(M, np_dtype)
+        if (not square and paged_min_nnz is not None and pad == 1
+                and M.nnz >= SLICED_MIN_NNZ and ell.sliced_waste(M) > 1.5):
+            # width-skewed transfer operator on the single-chip path: the
+            # restriction rows (one per aggregate / vertex) have long-tailed
+            # widths — knot's level-0 P^T is mean 29 / max 195, an 89M-slot
+            # single-width panel for 13.4M nnz.  SlicedEll packs it in
+            # ~1.1x nnz slots (ell.SlicedEll docstring).
+            return ell.build_sliced(M, np_dtype)
         return ell.build_ell(M, np_dtype, pad_rows_to=pad)
 
     A = H.tocsr().astype(np.float64)

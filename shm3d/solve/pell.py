@@ -494,8 +494,11 @@ def matvec(p: PagedMat, x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray
 
 
 def apply(op, x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray:
-    """y = op @ x for either operator encoding (ell.EllMat or PagedMat) —
-    the solve/preconditioner code paths hold whichever the builder chose."""
+    """y = op @ x for any operator encoding (ell.EllMat, ell.SlicedEll or
+    PagedMat) — the solve/preconditioner code paths hold whichever the
+    builder chose."""
     if isinstance(op, PagedMat):
         return matvec(op, x, n_out)
+    if isinstance(op, ell.SlicedEll):
+        return ell.sliced_matvec(op, x, n_out=n_out)
     return ell.matvec(op, x, n_out=n_out)

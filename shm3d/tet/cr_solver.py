@@ -386,8 +386,15 @@ class CRPath:
             diag=diag.astype(np_dtype),
             # the projection Gram lives in the (unpermuted) VERTEX space —
             # paging it without a vertex locality order exploded to 2.2 GB
-            # for ~20M nnz (measured); plain ELL it stays
-            P=ell.build_ell(P, np_dtype, pad_rows_to=pad),
+            # for ~20M nnz (measured).  Its row widths are long-tailed
+            # (knot: mean 12.7, max 68 — a 31M-slot single-width panel for
+            # 5.8M nnz), so at production sizes it stores sliced
+            # (ell.SlicedEll, ~1.15x nnz slots, ~4x less gather traffic);
+            # small or multi-chip solves keep the plain GSPMD-shardable ELL
+            P=(ell.build_sliced(P, np_dtype)
+               if use_paged and P.nnz >= amg.SLICED_MIN_NNZ
+               and ell.sliced_waste(P) > 1.5
+               else ell.build_ell(P, np_dtype, pad_rows_to=pad)),
             p_diag=p_diag.astype(np_dtype),
         )
         # divergence in gather form: (nf, 2) incident tets + signed normals

@@ -109,6 +109,8 @@ def op_iter_seconds(op) -> float:
         return 0.0
     if isinstance(op, pell.PagedMat):
         return op.n_passes / _PELL_PASS_RATE
+    if isinstance(op, ell.SlicedEll):
+        return (op.n_slots + op.n_rows) / _GATHER_RATE
     return op.vals.size / _GATHER_RATE
 
 
