@@ -605,8 +605,18 @@ class SignedHeatTetSolver:
                 "tet dual Laplacian", lambda x: H_scipy @ np.asarray(x),
                 H_scipy.shape[0],
             )
+        # the vertex-path operators (H_ell, divergence tables) are dead
+        # weight when CR Step 3 is active (the default on conforming
+        # meshes; the vertex path then only runs under --no-cr) — ~600 MB
+        # of transfer + HBM at knot scale.  Defer them to first vertex-path
+        # use (_integrate ships them lazily from the mmap'd prepared tree).
+        VERTEX_KEYS = ("H_ell", "diagH", "div_rows", "div_tets", "div_gvec")
+        dev_host = dict(prepared["dev"])
+        vertex_host = None
+        if prepared["cr"] is not None:
+            vertex_host = {k: dev_host.pop(k) for k in VERTEX_KEYS}
         device = ell.device_put_tree(dict(
-            dev=prepared["dev"],
+            dev=dev_host,
             vamg={k: (h.levels, h.coarse_inv)
                   for k, h in prepared["vamg"].items()},
         ), self.mesh)
@@ -630,8 +640,16 @@ class SignedHeatTetSolver:
             src_labels=np.asarray(prepared["src_labels"], dtype=np.int64),
             H_scipy=H_scipy,
             amg=amg_cache,  # per-constraint-mode hierarchies (+ lazy builds)
+            _vertex_host=vertex_host,  # deferred vertex-path arrays (or None)
             **device["dev"],
         )
+
+    def _ensure_vertex_ops(self, cached):
+        """Ship the deferred vertex-path operators on first use (--no-cr on
+        a CR-capable mesh; see _to_device)."""
+        if cached.get("_vertex_host") is not None:
+            cached.update(ell.device_put_tree(cached.pop("_vertex_host"),
+                                              self.mesh))
 
     def _hierarchy(self, cached, mode, n_src: int, dtype):
         """Per-mode SA-AMG hierarchy for the vertex (dual-Laplacian) solves
@@ -648,6 +666,7 @@ class SignedHeatTetSolver:
         return cached["amg"][mode]
 
     def _integrate(self, Y, mesh, geom, cached, options, tm):
+        self._ensure_vertex_ops(cached)
         n = mesh.n_vertices
         mode = options.level_set_constraint
         tol, maxiter = options.resolved_solver_tol(), options.solver_maxiter
