@@ -551,7 +551,14 @@ class SignedHeatTetSolver:
             barys=np.asarray(mesh.barycenters(), np_dtype),
             points=np.asarray(sources.points, np_dtype),
             vectors=np.asarray(sources.vectors(), np_dtype),
-            H_ell=ell.build_ell(H_scipy, np_dtype, pad_rows_to=pad),
+            # high-degree vertices skew the dual-Laplacian row widths
+            # (knot: width 68 panel for ~13/row mean, 4.4x padding waste);
+            # single-chip solves store it sliced, multi-chip keeps the
+            # GSPMD-shardable single panel (ell.SlicedEll docstring)
+            H_ell=(ell.build_sliced(H_scipy, np_dtype)
+                   if pad == 1 and H_scipy.nnz >= amg.SLICED_MIN_NNZ
+                   and ell.sliced_waste(H_scipy) > 1.5
+                   else ell.build_ell(H_scipy, np_dtype, pad_rows_to=pad)),
             div_rows=np.asarray(dual.div_rows, np.int32),
             div_tets=np.asarray(dual.div_tets, np.int32),
             div_gvec=np.asarray(dual.div_gvec, np_dtype),

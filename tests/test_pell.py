@@ -316,3 +316,26 @@ def test_hierarchy_uses_sliced_transfers():
                         jnp.asarray(b), precond=M, tol=1e-10, maxiter=200)
         r = np.linalg.norm(A @ np.asarray(res.x) - b) / np.linalg.norm(b)
         assert r < 1e-8, (kinds, r)
+
+
+def test_vertex_path_sliced_matches_ell(monkeypatch):
+    """The vertex (dual-Laplacian) Step 3 with a sliced solve panel must
+    match the plain-ELL solve (tet/solver._prepare_host H_ell gate)."""
+    from shm3d import SignedHeatOptions
+    from shm3d.geometry.procedural import make_icosphere
+    from shm3d.solve import amg as amg_mod
+    from shm3d.tet.solver import SignedHeatTetSolver
+
+    mesh = make_icosphere(2)
+    # vertex path: disable CR
+    opts = SignedHeatOptions(dtype="float32", disk_cache=False,
+                             use_crouzeix_raviart=False)
+    ref_solver = SignedHeatTetSolver()
+    ref = ref_solver.compute_distance(mesh, opts)
+    assert ref_solver.last_stats["step3_path"] == "vertex"
+    monkeypatch.setattr(amg_mod, "SLICED_MIN_NNZ", 1)
+    solver = SignedHeatTetSolver()
+    res = solver.compute_distance(mesh, opts)
+    rel = np.linalg.norm(np.asarray(res.phi) - np.asarray(ref.phi)) / \
+        np.linalg.norm(np.asarray(ref.phi))
+    assert rel < 1e-5, rel
