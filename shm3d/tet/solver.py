@@ -584,8 +584,15 @@ class SignedHeatTetSolver:
                 mask = np.ones(Hh.shape[0])
                 mask[:mesh.n_src] = 0.0
                 Hh = amg.masked_operator(Hh, mask)
+            from .cr_solver import PAGED_MIN_NNZ
+
             vamg[mode.value] = amg.build_hierarchy_host(
-                Hh, np_dtype, pad_rows_to=pad, skip_level0_A=True)
+                Hh, np_dtype, pad_rows_to=pad, skip_level0_A=True,
+                # same at-scale encodings as the CR hierarchies: paged
+                # square levels + sliced transfers on the single-chip path
+                paged_min_nnz=(PAGED_MIN_NNZ
+                               if pad == 1 and np_dtype == np.float32
+                               else None))
         return dict(
             spacing=float(mesh.mean_node_spacing()),
             mesh=mesh,
