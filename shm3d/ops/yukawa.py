@@ -83,6 +83,12 @@ def yukawa_field_xla(
         # kernel (rsqrt form) so the two implementations agree bitwise.
         diff = q[:, None, :] - src_points[None, :, :]
         r2 = jnp.sum(diff * diff, axis=-1)
+        # r2 == 0 (a query ON a source point — degenerate snapped tets put
+        # barycenters exactly on source vertices, polygon-bear) gives
+        # rsqrt(0) = inf and b = 0*inf = NaN, poisoning the running min.
+        # Clamping to the smallest normal keeps inv finite and makes the
+        # coincident source dominate the softmin — the correct limit.
+        r2 = jnp.maximum(r2, jnp.finfo(r2.dtype).tiny)
         inv = jax.lax.rsqrt(r2)
         b = (lam * r2) * inv  # lam * r
         # Numerically-stable (flash-attention-style) evaluation: factor out
@@ -145,6 +151,8 @@ def _yukawa_kernel(lam_ref, q_ref, sp_ref, sv_ref, out_ref, m_ref, acc_ref, *, n
     dy = q_ref[:, 1:2] - sp_ref[1:2, :]
     dz = q_ref[:, 2:3] - sp_ref[2:3, :]
     r2 = dx * dx + dy * dy + dz * dz
+    # clamp r2 == 0 (query coincident with a source; see yukawa_field_xla)
+    r2 = jnp.maximum(r2, jnp.finfo(r2.dtype).tiny)
     inv = jax.lax.rsqrt(r2)  # 1/r: one hw op replaces sqrt + divide
     b = (lam * r2) * inv  # lam * r
     m_old = m_ref[:]

@@ -34,7 +34,12 @@ def _block_update(q, sp, sv, lam, m, acc):
 
     q (Ql, 3); sp/sv (Sl, 3); m (Ql, 1); acc (Ql, 3) -> (m', acc')."""
     diff = q[:, None, :] - sp[None, :, :]
-    b = lam * jnp.sqrt(jnp.sum(diff * diff, axis=-1))  # (Ql, Sl)
+    # clamp r2 == 0 (query coincident with a source — degenerate snapped
+    # tets; see ops.yukawa): b stays nonzero so lam/b is finite and the
+    # coincident source dominates the softmin
+    r2 = jnp.maximum(jnp.sum(diff * diff, axis=-1),
+                     jnp.finfo(diff.dtype).tiny)
+    b = lam * jnp.sqrt(r2)  # (Ql, Sl)
     m_new = jnp.minimum(m, jnp.min(b, axis=1, keepdims=True))
     w = jnp.exp(m_new - b) * (lam / b)
     contrib = w @ sv

@@ -70,18 +70,27 @@ def test_config3_bunny_pc_grid():
     _finite_and_signed(res.phi)
 
 
-def test_config4_polygon_bear_tet():
+@pytest.mark.parametrize("dtype", ["float32", "float64"])
+def test_config4_polygon_bear_tet(dtype):
     """④ polygon-bear.obj, tet domain — the polygon-mesh fallback path
-    (non-conforming vertex path, reference :24-33)."""
+    (non-conforming vertex path, reference :24-33).
+
+    Runs BOTH dtypes: f32 is the bench/TPU production path and regressed
+    silently while CI only covered f64 (degenerate snapped tets put
+    barycenters exactly on source vertices; r2 == 0 made the f32 Yukawa
+    kernel emit NaN where f64 survived on subnormals — ops/yukawa.py
+    clamp)."""
     from shm3d.tet.solver import SignedHeatTetSolver
 
     mesh = read_geometry(reference_asset("polygon-bear.obj"))
     assert not mesh.is_triangular  # the point of this config
-    res = SignedHeatTetSolver().compute_distance(
-        mesh, SignedHeatOptions(dtype="float64", disk_cache=False)
+    solver = SignedHeatTetSolver()
+    res = solver.compute_distance(
+        mesh, SignedHeatOptions(dtype=dtype, disk_cache=False)
     )
     _finite_and_signed(res.phi)
     assert res.mesh.conforming is False
+    assert solver.last_stats.get("iters", 1) > 0
 
 
 def test_config5_spraybottle_pc_grid():

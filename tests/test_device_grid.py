@@ -431,3 +431,41 @@ def test_wavefront_close_to_bfs_on_smooth_field(icosphere):
     exact = r - r.reshape(grid.shape)[0, 0, 0]
     # generous band: greedy integration error accumulates along paths
     assert np.abs(got - exact).max() < 0.2 * scale
+
+
+def test_yukawa_query_coincident_with_source_f32():
+    """A query exactly ON a source point (degenerate snapped tets put tet
+    barycenters on source vertices — polygon-bear) must yield a finite
+    unit direction, not 0*inf = NaN (f32 r2 underflows to exactly 0 where
+    f64 survives on subnormals; ops/yukawa.py clamps r2)."""
+    import jax.numpy as jnp
+
+    from shm3d.ops.yukawa import yukawa_field, yukawa_field_xla
+
+    pts = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]],
+                   np.float32)
+    vecs = np.array([[0.0, 0.0, 1.0]] * 3, np.float32)
+    q = np.array([[0.0, 0.0, 0.0],      # exactly on source 0
+                  [0.5, 0.5, 0.5]], np.float32)
+    for fn in (yukawa_field, yukawa_field_xla):
+        Y = np.asarray(fn(jnp.asarray(q), jnp.asarray(pts), jnp.asarray(vecs),
+                          10.0))
+        assert np.isfinite(Y).all(), fn.__name__
+        n = np.linalg.norm(Y, axis=1)
+        np.testing.assert_allclose(n, 1.0, atol=1e-5)
+
+
+def test_ring_query_coincident_with_source_f32():
+    """Same coincident-query guard for the multi-chip ring path."""
+    import jax.numpy as jnp
+
+    from shm3d.parallel import device_mesh, yukawa_field_ring
+
+    mesh = device_mesh(min(2, len(jax.devices())))
+    pts = np.array([[0.0, 0.0, 0.0], [1.0, 0.0, 0.0],
+                    [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], np.float32)
+    vecs = np.array([[0.0, 0.0, 1.0]] * 4, np.float32)
+    q = np.zeros((8, 3), np.float32)     # all exactly on source 0
+    Y = np.asarray(yukawa_field_ring(jnp.asarray(q), jnp.asarray(pts),
+                                     jnp.asarray(vecs), 10.0, mesh))
+    assert np.isfinite(Y).all()
