@@ -267,6 +267,17 @@ def build_paged(M, dtype=np.float32) -> PagedMat:
                               dtype))
         s_pass = e_pass
         s_tile_i = j + 1
+    # Coverage invariant the matvec concatenation relies on: segments tile
+    # [0, n_tiles) contiguously and without overlap in their REAL spans
+    # (seg.n_tiles is the pow2-padded count; the real span of a non-final
+    # segment is next.t0 - seg.t0, and matvec slices its output to that).
+    t0s = [s.t0 for s in segs] + [n_tiles]
+    for k, s in enumerate(segs):
+        real = t0s[k + 1] - s.t0
+        if real <= 0 or real > s.n_tiles:
+            raise AssertionError(
+                f"segment {k} covers [{s.t0}, {s.t0}+{real}) with padded "
+                f"n_tiles={s.n_tiles} — non-contiguous pass decomposition")
     return PagedMat(tuple(segs), n, m, cols_pad, nnz)
 
 
@@ -488,7 +499,17 @@ def matvec(p: PagedMat, x: jnp.ndarray, n_out: int | None = None) -> jnp.ndarray
     n = p.n_rows if n_out is None else n_out
     pad = p.cols_pad - x.shape[0]
     x3 = (jnp.pad(x, (0, pad)) if pad else x).reshape(-1, 128)
-    parts = [_seg_matvec(s, x3) for s in p.segs]
+    # Each segment's output is padded to seg.n_tiles (pow2-bucketed) tiles;
+    # its REAL span runs only to the next segment's t0.  Slice the padding
+    # off before concatenating or every later row lands at a shifted offset
+    # (the padded rows hold zeros from the padding passes, so dropping them
+    # is exact).
+    parts = []
+    for k, s in enumerate(p.segs):
+        y = _seg_matvec(s, x3)
+        if k + 1 < len(p.segs):
+            y = y[: (p.segs[k + 1].t0 - s.t0) * 8]
+        parts.append(y)
     y = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
     return y.reshape(-1)[:n]
 

@@ -750,10 +750,9 @@ class SignedHeatTetSolver:
             phi = self._shift(jnp.asarray(phi, dtype), mesh, cached)
         tm.note(f"krylov iters={int(iters)} rel_res={float(res):.2e}")
         self.last_stats.update(
-            iters=int(iters), rel_res=float(res),
+            iters=int(iters), rel_res=float(res), residual=float(res),
             chunks=solve_stats.get("chunks", []),
             amg_sizes=list(h.sizes), iter_seconds_est=round(cost, 4))
-        self.last_stats.update(iters=int(iters), residual=float(res))
         return phi
 
     def _shift(self, phi, mesh, cached):

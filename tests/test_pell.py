@@ -75,6 +75,39 @@ def test_paged_segmentation(monkeypatch):
     np.testing.assert_allclose(y, ref, rtol=0, atol=1e-4 * np.abs(ref).max())
 
 
+def test_paged_pass_budget_cut_nonpow2(monkeypatch):
+    """Segments cut by the PASS budget (not the tile budget) end at
+    arbitrary — generally non-pow2 — tile counts; _make_seg still pads
+    n_tiles to a pow2 bucket, so matvec must slice each non-final segment
+    back to its real span before concatenating (ADVICE r3 high: dense
+    matrices with > ~73 passes/tile silently corrupted every row after the
+    first cut segment)."""
+    monkeypatch.setattr(pell, "_SEG_PASSES", 26)   # cut every ~3 tiles
+    rng = np.random.default_rng(9)
+    n = 11 * pell.PAGE                              # 11 tiles (prime-ish)
+    # banded: each tile touches ~2 pages with ~2-fold multiplicity, so
+    # ~4-6 passes per tile and the 16-pass budget cuts at ~3-tile spans
+    rows = np.repeat(np.arange(n), 4)
+    cols = (rows + rng.integers(-600, 601, rows.size)) % n
+    A = sp.coo_matrix((rng.standard_normal(rows.size), (rows, cols)),
+                      shape=(n, n)).tocsr()
+    P = pell.build_paged(A, np.float32)
+    assert len(P.segs) > 2
+    # at least one NON-final segment must have a real span that is not a
+    # power of two (otherwise this test exercises nothing)
+    t0s = [s.t0 for s in P.segs] + [-(-n // pell.PAGE)]
+    spans = [t0s[k + 1] - t0s[k] for k in range(len(P.segs))]
+    assert any(s & (s - 1) for s in spans[:-1]), spans
+    # real spans partition the tiles; padded n_tiles may exceed them
+    assert t0s[0] == 0 and all(s > 0 for s in spans)
+    for s, seg in zip(spans, P.segs):
+        assert s <= seg.n_tiles
+    x = rng.standard_normal(n).astype(np.float32)
+    y = np.asarray(pell.matvec(P, jnp.asarray(x)))
+    ref = A @ x.astype(np.float64)
+    np.testing.assert_allclose(y, ref, rtol=0, atol=2e-4 * np.abs(ref).max())
+
+
 def test_paged_empty_tiles_and_matrix():
     # rows 1024..2047 empty -> a dummy pass must still zero their tile
     A = sp.csr_matrix((np.ones(2), ([0, 2100], [5, 7])), shape=(2200, 2200))
