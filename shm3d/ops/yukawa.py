@@ -77,6 +77,16 @@ def yukawa_field_xla(
     Q = queries.shape[0]
     Qp = -(-Q // q_tile) * q_tile
     qpad = _pad_to(queries, Qp, 0.0).reshape(-1, q_tile, 3)
+    lam = jnp.asarray(lam, dtype)
+    out = _xla_map_tiles(qpad, src_points, src_vectors, lam, normalize)
+    return out.reshape(Qp, 3)[:Q].astype(dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("normalize",))
+def _xla_map_tiles(qpad, src_points, src_vectors, lam, normalize: bool):
+    """jitted so repeat solves reuse the compiled scan — an eager lax.map
+    closure re-traced (and recompiled) every call, costing ~1 s per warm
+    CPU solve."""
 
     def tile_fn(q):
         # (q_tile, S) pairwise distances; same arithmetic as the Pallas
@@ -109,8 +119,7 @@ def yukawa_field_xla(
             X = X * jnp.exp(-m)
         return X
 
-    out = jax.lax.map(tile_fn, qpad)
-    return out.reshape(Qp, 3)[:Q].astype(dtype)
+    return jax.lax.map(tile_fn, qpad)
 
 
 # ---------------------------------------------------------------------------

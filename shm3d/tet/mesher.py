@@ -79,7 +79,6 @@ def _norm3(v) -> float:
     return math.sqrt(x * x + y * y + z * z)
 
 
-@treestore.register
 @dataclasses.dataclass
 class TetMesh:
     """Array-based tet mesh with the adjacency the solver needs.
@@ -168,6 +167,41 @@ class TetMesh:
         assert cnt.max() <= 2, "face shared by >2 tets"
         interior = cnt == 2
         assert (sgn[interior] == 0).all(), "interior face with same-side tets"
+
+
+# --- compact treestore encoding ------------------------------------------
+# Index arrays are int64 in memory but every value fits int32 at any
+# realistic mesh size (< 2^31 vertices/tets/faces): storing them int32
+# halves ~340 MB of the knot@h=1 artifact (VERDICT r2 item 4).  unpack
+# restores int64 so in-memory behavior is identical to a fresh build.
+
+_TETMESH_I64 = ("tets", "faces", "tet_face", "tet_face_sign", "vt_indptr",
+                "vt_data", "src_vertex", "surface_faces", "surface_parent",
+                "surface_orient")
+
+
+def _pack_tetmesh(m: "TetMesh") -> dict:
+    d = {f.name: getattr(m, f.name) for f in dataclasses.fields(TetMesh)}
+    for k in _TETMESH_I64:
+        a = d[k]
+        if (isinstance(a, np.ndarray) and a.dtype == np.int64
+                and (a.size == 0
+                     or (a.max() < np.iinfo(np.int32).max
+                         and a.min() > np.iinfo(np.int32).min))):
+            d[k] = a.astype(np.int32)
+    return d
+
+
+def _unpack_tetmesh(d: dict) -> "TetMesh":
+    d = dict(d)
+    for k in _TETMESH_I64:
+        a = d.get(k)
+        if isinstance(a, np.ndarray) and a.dtype == np.int32:
+            d[k] = np.asarray(a, np.int64)
+    return TetMesh(**d)
+
+
+treestore.register_packed(TetMesh, _pack_tetmesh, _unpack_tetmesh)
 
 
 #: bumped whenever the default meshing behavior changes (lattice heuristics,
