@@ -316,15 +316,16 @@ def build_cr_operators(mesh: TetMesh) -> CROperators:
 
 
 def _dedup(rows, cols, vals, n):
-    """Sum duplicate (row, col) entries via one packed-int64 sort +
-    contiguous group reduction (np.add.reduceat) — far faster than
-    lexsort + np.add.at on tens of millions of entries."""
-    key = rows.astype(np.int64) * np.int64(n) + cols.astype(np.int64)
-    order = np.argsort(key, kind="stable")
-    sk = key[order]
-    sv = vals[order]
-    newgrp = np.ones(sk.shape[0], dtype=bool)
-    newgrp[1:] = sk[1:] != sk[:-1]
-    starts = np.nonzero(newgrp)[0]
-    vsum = np.add.reduceat(sv, starts)
-    return rows[order[starts]], cols[order[starts]], vsum
+    """Sum duplicate (row, col) entries, returning canonical (row, col)
+    order.  scipy's C++ COO->CSR conversion (counting sort by row + tiny
+    per-row column sorts) measures 8.1 s vs 56.5 s for the packed-int64
+    numpy argsort at knot's 53.8M entries on this host — the earlier
+    reduceat form was itself the fix for a still-slower lexsort+add.at."""
+    import scipy.sparse as sp
+
+    idx = np.int32 if n < np.iinfo(np.int32).max else np.int64
+    A = sp.coo_matrix((vals, (rows.astype(idx), cols.astype(idx))),
+                      shape=(n, n)).tocsr()
+    A.sum_duplicates()
+    C = A.tocoo()
+    return C.row, C.col, C.data
