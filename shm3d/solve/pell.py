@@ -198,13 +198,14 @@ def build_paged(M, dtype=np.float32) -> PagedMat:
     cols = A.indices.astype(np.int64)
     page = cols >> 10
     # multiplicity within each (row, page) group — CSR order makes the
-    # groups contiguous, so a change-flag cumsum suffices
+    # groups contiguous, so group-start repeats suffice (np.repeat of the
+    # start offsets beats a maximum.accumulate scan ~2x on this host)
     grp = rows * n_pages + page
     new = np.ones(nnz, bool)
     new[1:] = grp[1:] != grp[:-1]
-    idx_lin = np.arange(nnz, dtype=np.int64)
-    first_of = np.maximum.accumulate(np.where(new, idx_lin, 0))
-    mult = idx_lin - first_of
+    starts_g = np.flatnonzero(new)
+    sizes_g = np.diff(np.append(starts_g, nnz))
+    mult = np.arange(nnz, dtype=np.int64) - np.repeat(starts_g, sizes_g)
     # pass identity (tile, page, mult), sorted; tile order is already
     # ascending in CSR, so sorting the packed key keeps tile runs contiguous
     tile = rows >> 10
@@ -213,18 +214,19 @@ def build_paged(M, dtype=np.float32) -> PagedMat:
     ks = key[order]
     new2 = np.ones(nnz, bool)
     new2[1:] = ks[1:] != ks[:-1]
-    pass_id = np.cumsum(new2) - 1
+    # int32 cumsum is ~20x faster than the int64 default on this host;
+    # pass ids fit easily (T <= nnz < 2^31)
+    pass_id = np.cumsum(new2, dtype=np.int32) - 1
     T = int(pass_id[-1]) + 1
 
     vals3 = np.zeros((T, PAGE), dtype)
     idx3 = np.zeros((T, PAGE), np.int32)
-    e = (rows[order] & 1023).astype(np.int64)
+    e = (rows[order] & 1023).astype(np.int32)
     vals3[pass_id, e] = A.data[order].astype(dtype)
     idx3[pass_id, e] = (cols[order] & 1023).astype(np.int32)
-    pass_tile = np.zeros(T, np.int64)
-    pass_page = np.zeros(T, np.int64)
-    pass_tile[pass_id] = tile[order]
-    pass_page[pass_id] = page[order]
+    starts_p = np.flatnonzero(new2)  # first sorted entry of each pass:
+    pass_tile = tile[order[starts_p]]  # a T-sized gather, not a 31M scatter
+    pass_page = page[order[starts_p]]
 
     # tiles with no entries (possible for rectangular/padded shapes) still
     # need one zero pass so their output block is initialized
