@@ -26,8 +26,41 @@ DATA = os.environ.get("SHM3D_DATA", "/root/reference/data")
 NORTH_STAR_S = 1.0
 
 
+def _backend_reachable(timeout_s: float = 300.0) -> bool:
+    """Probe device availability in a SUBPROCESS with a hard timeout.
+
+    jax backend init hangs indefinitely when the TPU tunnel's remote side
+    is down (observed: a 6+ hour worker outage in round 3 turned the bench
+    into rc=124 with no output).  A probe that cannot hang lets the
+    harness emit an honest error JSON instead of silence."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128)); (x @ x).block_until_ready(); "
+             "print('OK')"],
+            capture_output=True, text=True, timeout=timeout_s)
+        return r.returncode == 0 and "OK" in r.stdout
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     import numpy as np
+
+    if not _backend_reachable():
+        print(json.dumps({
+            "metric": "spraybottle_pc_h3_grid128_warm_solve",
+            "value": None,
+            "unit": "s",
+            "vs_baseline": None,
+            "detail": {"error": "device backend unreachable: probe program "
+                                "did not complete within 300 s (TPU tunnel "
+                                "outage)"},
+        }), flush=True)
+        return
 
     from shm3d.config import SignedHeatOptions
     from shm3d.io.mesh_io import read_geometry
