@@ -26,25 +26,33 @@ DATA = os.environ.get("SHM3D_DATA", "/root/reference/data")
 NORTH_STAR_S = 1.0
 
 
-def _backend_reachable(timeout_s: float = 300.0) -> bool:
+def _backend_reachable() -> bool:
     """Probe device availability in a SUBPROCESS with a hard timeout.
 
     jax backend init hangs indefinitely when the TPU tunnel's remote side
     is down (observed: a 6+ hour worker outage in round 3 turned the bench
     into rc=124 with no output).  A probe that cannot hang lets the
-    harness emit an honest error JSON instead of silence."""
+    harness emit an honest error JSON instead of silence.  Two attempts
+    guard against a healthy-but-congested tunnel being misread as an
+    outage (backend init + the tiny matmul compile normally finish in
+    tens of seconds; 2 x 300 s is a wide margin, and
+    SHM3D_BENCH_PROBE_TIMEOUT widens it further if needed)."""
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax, jax.numpy as jnp; "
-             "x = jnp.ones((128, 128)); (x @ x).block_until_ready(); "
-             "print('OK')"],
-            capture_output=True, text=True, timeout=timeout_s)
-        return r.returncode == 0 and "OK" in r.stdout
-    except subprocess.TimeoutExpired:
-        return False
+    timeout_s = float(os.environ.get("SHM3D_BENCH_PROBE_TIMEOUT", "300"))
+    for _ in range(2):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax, jax.numpy as jnp; "
+                 "x = jnp.ones((128, 128)); (x @ x).block_until_ready(); "
+                 "print('OK')"],
+                capture_output=True, text=True, timeout=timeout_s)
+            if r.returncode == 0 and "OK" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+    return False
 
 
 def main():
@@ -57,8 +65,8 @@ def main():
             "unit": "s",
             "vs_baseline": None,
             "detail": {"error": "device backend unreachable: probe program "
-                                "did not complete within 300 s (TPU tunnel "
-                                "outage)"},
+                                "failed twice within the timeout (TPU "
+                                "tunnel outage)"},
         }), flush=True)
         return
 

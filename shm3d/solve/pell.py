@@ -186,6 +186,10 @@ def build_paged(M, dtype=np.float32) -> PagedMat:
         raise ValueError(f"paged matvec supports up to 2^30 columns, got {m}")
     counts = np.diff(A.indptr)
     nnz = int(A.indices.size)
+    if nnz >= (1 << 31):
+        # pass ids are int32 (build below) and the meta word packs
+        # 11-bit tiles + 20-bit pages; far beyond any target operator
+        raise ValueError(f"paged matvec supports < 2^31 nonzeros, got {nnz}")
     n_tiles = max(1, -(-n // PAGE))
     n_pages = max(1, -(-m // PAGE))
     cols_pad = _bucket_pow2(n_pages) * PAGE

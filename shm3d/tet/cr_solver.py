@@ -257,6 +257,14 @@ def repair_mass_starved(w: np.ndarray, weak: np.ndarray, tets: np.ndarray,
     return w
 
 
+def _csr64(M):
+    """Host defect-correction operators run f64; upcast f32-stored data
+    in place (one copy at load, not one per matvec)."""
+    if M.dtype != np.float64:
+        M = M.astype(np.float64)
+    return M
+
+
 def _first_P_from_cols(face_cols: np.ndarray, n_vertices: int):
     """Geometric face->vertex prolongator from its (nf, 3) vertex-column
     table (every value is 1/3, so only the structure is persisted)."""
@@ -321,8 +329,11 @@ class CRPath:
         self._H = prepared["H_csr"].to_scipy()
         self._first_P_scipy = _first_P_from_cols(
             np.asarray(prepared["first_P_cols"]), int(prepared["n_vertices"]))
-        self._P_scipy = prepared["P_csr"].to_scipy()
-        self._AtM_scipy = prepared["AtM_csr"].to_scipy()
+        # projection operators may be STORED f32 (artifact size); upcast
+        # once here — a mixed f32-matrix @ f64-vector matvec makes scipy
+        # allocate a fresh f64 copy of the data per call
+        self._P_scipy = _csr64(prepared["P_csr"].to_scipy())
+        self._AtM_scipy = _csr64(prepared["AtM_csr"].to_scipy())
         self._proj_shift = float(prepared["proj_shift"])
         self._proj_weak = np.asarray(prepared["proj_weak"])
         self._mask64 = np.asarray(prepared["ell"]["surf_mask"], np.float64)

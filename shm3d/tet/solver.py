@@ -443,11 +443,18 @@ class SignedHeatTetSolver:
             checks.check_unit_field("tet Step 2 field", Y)
 
         n = mesh.n_vertices
+        cr_wanted = options.use_crouzeix_raviart and not options.fast_integration
+        if (cr_wanted and cached.get("cr_path") is None
+                and not cached.get("_cr_unsupported")):
+            # mode upgrade on an artifact whose first run didn't need CR:
+            # minutes of host work at scale — attribute it a visible phase
+            with tm.phase("tet precompute (CR face operators, mode upgrade)"):
+                self._ensure_cr_path(cached, geom, options)
         if options.fast_integration:
             self.last_stats["step3_path"] = "greedy"
             with tm.phase("step 3 (greedy BFS, host)"):
                 phi = self._greedy(mesh, np.asarray(Y, np.float64), geom, cached, options)
-        elif options.use_crouzeix_raviart and self._cr_ready(cached, geom, options):
+        elif cr_wanted and cached.get("cr_path") is not None:
             self.last_stats["step3_path"] = "crouzeix-raviart"
             # reference default for conforming triangle meshes
             # (integrateVectorFieldToFaces; gate at src/main.cpp:142-144);
@@ -652,16 +659,20 @@ class SignedHeatTetSolver:
     def _upgrade_artifact(self, cached, options, mutate) -> None:
         """Merge a mode upgrade (vertex ops / CR state built after the
         fact) back into the on-disk artifact, so later processes load it
-        instead of rebuilding.  Best-effort: silently skipped when disk
-        caching is off or the artifact is absent."""
+        instead of rebuilding.  ``mutate(prepared)`` returns True when it
+        changed the tree — a False (another process already merged this
+        family) skips the multi-GB rewrite.  Best-effort and
+        last-writer-wins: concurrent upgrades of DIFFERENT families can
+        drop one of them (save_tree replaces the whole directory
+        atomically), costing a later re-upgrade, never corruption."""
         key = cached.get("_key")
         if not options.disk_cache or key is None:
             return
         prepared = treestore.load_tree(("tetprep",) + key)
         if prepared is None:
             return
-        mutate(prepared)
-        treestore.save_tree(("tetprep",) + key, prepared)
+        if mutate(prepared):
+            treestore.save_tree(("tetprep",) + key, prepared)
 
     def _to_device(self, prepared: dict, dtype) -> dict:
         """Operator-cache entry from a prepared (possibly memory-mapped)
@@ -739,20 +750,29 @@ class SignedHeatTetSolver:
             mesh, np_dtype, pad)
         cached["H_scipy"] = H_scipy
         cached.update(ell.device_put_tree(vdev, self.mesh))
+        # build (and persist) the current mode's hierarchy with the same
+        # at-scale encodings the eager path uses — the generic lazy
+        # _hierarchy rebuild would repay host SA-AMG setup per process
+        # AND miss the paged/sliced encodings
+        vamg = {}
+        if not options.fast_integration:
+            vamg = SignedHeatTetSolver._eager_vamg(
+                H_scipy, mesh, options, np_dtype, pad)
+            for k, h in vamg.items():
+                lev, cinv = ell.device_put_tree(
+                    (h.levels, h.coarse_inv), self.mesh)
+                cached["amg"][LevelSetConstraint(k)] = amg.AMGHierarchy(
+                    lev, cinv, h.sizes, h.l0_nnz)
 
         def mutate(prepared):
-            if prepared.get("H_csr") is None:
-                prepared["dev"] = dict(prepared["dev"], **vdev)
-                prepared["H_csr"] = ell.CSR64.from_scipy(H_scipy)
+            if prepared.get("H_csr") is not None:
+                return False
+            prepared["dev"] = dict(prepared["dev"], **vdev)
+            prepared["H_csr"] = ell.CSR64.from_scipy(H_scipy)
+            prepared["vamg"] = dict(prepared.get("vamg", {}), **vamg)
+            return True
 
         self._upgrade_artifact(cached, options, mutate)
-
-    def _cr_ready(self, cached, geom, options) -> bool:
-        """True when the CR face path is (or can be made) available for
-        this artifact — building it on demand for artifacts keyed by a
-        run that didn't need it."""
-        self._ensure_cr_path(cached, geom, options)
-        return cached.get("cr_path") is not None
 
     def _ensure_cr_path(self, cached, geom, options):
         """Build the CR face state on a vertex/greedy-keyed artifact when a
@@ -783,10 +803,12 @@ class SignedHeatTetSolver:
         cached["cr_face_areas"] = np.asarray(areas, np.float64)
 
         def mutate(prepared):
-            if prepared.get("cr") is None:
-                prepared["cr"] = cr_prep
-                prepared["cr_face_components"] = cached["cr_face_components"]
-                prepared["cr_face_areas"] = cached["cr_face_areas"]
+            if prepared.get("cr") is not None:
+                return False
+            prepared["cr"] = cr_prep
+            prepared["cr_face_components"] = cached["cr_face_components"]
+            prepared["cr_face_areas"] = cached["cr_face_areas"]
+            return True
 
         self._upgrade_artifact(cached, options, mutate)
 
@@ -805,6 +827,9 @@ class SignedHeatTetSolver:
         return cached["amg"][mode]
 
     def _integrate(self, Y, mesh, geom, cached, options, tm):
+        if "H_ell" not in cached and cached.get("_vertex_host") is None:
+            tm.note("vertex operators absent from artifact: building "
+                    "(mode upgrade; merged back to disk)")
         self._ensure_vertex_ops(cached, options)
         n = mesh.n_vertices
         mode = options.level_set_constraint
