@@ -116,9 +116,13 @@ def op_iter_seconds(op) -> float:
 
 def hierarchy_iter_seconds(h, l0=None) -> float:
     """Estimated seconds per AMG-preconditioned CG iteration: the CG matvec
-    on the level-0 operator plus a symmetric V-cycle (2 operator matvecs +
-    P + P^T per level).  ``l0``: the solve operator standing in for a
-    skip_level0_A hierarchy's level 0."""
+    on the level-0 operator plus a Chebyshev-smoothed V-cycle — per level,
+    (degree - 1) pre + degree post smoother matvecs + the coarse-residual
+    matvec = 2 * degree operator applications, plus P + P^T.  ``l0``: the
+    solve operator standing in for a skip_level0_A hierarchy's level 0."""
+    from ..solve.amg import CHEB_DEGREE
+
+    per_level = 2 * CHEB_DEGREE
     cost = 0.0
     for i, lvl in enumerate(h.levels):
         if lvl.A is not None:
@@ -127,7 +131,7 @@ def hierarchy_iter_seconds(h, l0=None) -> float:
             a = op_iter_seconds(l0)
         else:
             a = h.l0_nnz / _GATHER_RATE
-        cost += (3 if i == 0 else 2) * a
+        cost += (per_level + 1 if i == 0 else per_level) * a
         cost += op_iter_seconds(lvl.P) + op_iter_seconds(lvl.PT)
     return cost
 

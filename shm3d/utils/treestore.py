@@ -38,7 +38,7 @@ import numpy as np
 from . import diskcache
 
 #: bump when the prepared-artifact layout or any producer algorithm changes
-TREE_VERSION = "t5"  # t5: mode-aware families, int32 mesh, lean first_P
+TREE_VERSION = "t6"  # t6: Chebyshev smoother intervals in AMG levels
 
 # name -> class; classes opt in to serialization explicitly so manifests can
 # never instantiate arbitrary types
