@@ -39,6 +39,8 @@ def _backend_reachable() -> bool:
     SHM3D_BENCH_PROBE_TIMEOUT widens it further if needed)."""
     import subprocess
 
+    if os.environ.get("SHM3D_BENCH_NO_PROBE"):
+        return True
     timeout_s = float(os.environ.get("SHM3D_BENCH_PROBE_TIMEOUT", "300"))
     for _ in range(2):
         try:
