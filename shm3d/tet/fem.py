@@ -116,6 +116,14 @@ def _wedge_volumes(verts: np.ndarray, tets: np.ndarray, clamp: bool = True) -> T
             quality = 6.0 * np.sqrt(2.0) * tvol / np.maximum(edges2, 1e-300) ** 1.5
         sliver = quality < 0.02
         w[sliver] = np.maximum(w[sliver], 0.0)
+        # (A per-tet magnitude cap on |w| was tried here — knot's short-edge
+        # pairs reach w ~ 8.9e8 vs median 33 — and measured HARMFUL: capping
+        # at 1e3x median tripled mid-range f64 PCG iteration counts
+        # (1e-3 in 86 vs 14 iterations) by perturbing the discretization,
+        # while the large weights themselves are harmless to f32 once the
+        # operator is definite.  The actual f32-stall culprit was the
+        # negative-diagonal indefiniteness repaired in
+        # build_dual_laplacian.)
     return w, evec
 
 
@@ -159,6 +167,31 @@ def build_dual_laplacian(mesh: TetMesh, clamp: bool = True) -> DualLaplacian:
     for p, (i, j) in enumerate(_ORDERED_PAIRS):
         vi[:, p] = tets[:, i]
         vj[:, p] = tets[:, j]
+
+    if clamp:
+        # Targeted negative-diagonal repair (r4): even with the sliver
+        # clamp, a vertex whose star's negative (degenerate-Delaunay)
+        # weights outweigh the positives gets diag(H) <= 0 — an
+        # INDEFINITE operator (the knot recovery mesh had 2 such vertices
+        # at diag -5 vs median +33, which stalled the production f32
+        # vertex solve at rel 7e-2; with the repair the same solve's f32
+        # floor measured 5e-5).  Zero the negative
+        # weights on edges incident to such vertices: every affected
+        # diagonal moves UP (a negative w contributes -w to both endpoint
+        # diagonals of H), so a couple of passes converge; the edge-weight
+        # form stays a valid Laplacian (constants annihilated) and the
+        # divergence weights below inherit the repaired w.
+        for _ in range(3):
+            diag = np.zeros(NV)
+            np.add.at(diag, vi.reshape(-1), w.reshape(-1))
+            np.add.at(diag, vj.reshape(-1), w.reshape(-1))
+            bad = diag <= 0
+            if not bad.any():
+                break
+            edge_bad = (bad[vi] | bad[vj]) & (w < 0)
+            if not edge_bad.any():
+                break
+            w = np.where(edge_bad, 0.0, w)
 
     wf = w.reshape(-1)
     vif = vi.reshape(-1)

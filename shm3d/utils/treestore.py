@@ -38,7 +38,7 @@ import numpy as np
 from . import diskcache
 
 #: bump when the prepared-artifact layout or any producer algorithm changes
-TREE_VERSION = "t6"  # t6: Chebyshev smoother intervals in AMG levels
+TREE_VERSION = "t7"  # t7: dual-Laplacian negative-diagonal repair
 
 # name -> class; classes opt in to serialization explicitly so manifests can
 # never instantiate arbitrary types
