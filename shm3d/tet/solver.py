@@ -163,13 +163,34 @@ def _stall_window(dtype):
     return 60 if jnp.dtype(dtype) == jnp.float32 else 1000
 
 
+# The vertex (dual-Laplacian) chunks run in SYMMETRICALLY EQUILIBRATED
+# variables: the device operator is S H S with S = diag(1/sqrt(diag H))
+# (built host-side, _build_vertex_ops), the caller maps rhs/solution with
+# x = S y, b_s = S b.  The dual Laplacian's weights span ~0.76..9e8 on
+# TetGen-quality graded meshes (knot@h=1) and pure-f32 CG floors near 1e-2
+# relative residual on the raw operator purely from VALUE rounding (an
+# f64-V-cycle emulation still floors ~2e-4); the scaled operator has unit
+# diagonal, so CG's recurrences mix like-sized components and reach the
+# ordinary f32 roundoff floor.  Exact-arithmetic iterates are identical
+# (diagonal preconditioning == equilibration), so f64 runs are unaffected.
+# CAUTION (modes without Dirichlet rows): the scaled operator's null space
+# is S^{-1}·1 = sqrt(diag H), NOT constants — the deflations inside
+# _none_chunk/_multiple_chunk use the ``vnull`` direction, and the MULTIPLE
+# group subspace 'phi constant per component' maps to 'y proportional to
+# sqrt(diag H) per component' (weighted group projection).  The Galerkin
+# condition is invariant under the congruence (residual ⊥ S·V_s == the
+# original constraint space), so the unscaled answer is unchanged up to the
+# null component, which _shift fixes in original variables either way.
+
+
 @functools.partial(jax.jit, static_argnames=("n", "n_src", "mg_sizes"))
 def _zeroset_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
                    n: int, n_src: int, tol=1e-5, chunk=CHUNK_ITERS,
                    mg_sizes: tuple = ()):
     """Dirichlet solve chunk: phi = 0 on source vertices, H_II phi_I = b_I
-    (b = masked -div, or a refinement residual).  H = -L_dual (positive
-    definite on the interior block), in ELL form."""
+    (b = masked, equilibrated -div, or a refinement residual).  H = the
+    scaled dual Laplacian S(-L_dual)S (positive definite on the interior
+    block), in ELL form."""
     mask = (jnp.arange(n) >= n_src).astype(b.dtype)
 
     def matvec(x):
@@ -186,17 +207,19 @@ def _zeroset_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
 
 
 @functools.partial(jax.jit, static_argnames=("n", "mg_sizes"))
-def _none_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
+def _none_chunk(b, x0, H, diagH, vnull, mg_levels, mg_coarse, stall,
                 n: int, tol=1e-5, chunk=CHUNK_ITERS, mg_sizes: tuple = ()):
-    """Singular Poisson chunk: H phi = b with constants projected out
-    (b pre-deflated by the caller)."""
+    """Singular Poisson chunk in equilibrated variables: H y = b with the
+    scaled null direction ``vnull`` (unit sqrt(diag) vector) deflated."""
+    defl = lambda v: v - vnull * jnp.vdot(vnull, v)
+    b = defl(b)
+
     def matvec(x):
-        y = pell.apply(H, x)
-        return y - jnp.mean(y)
+        return defl(pell.apply(H, x))
 
     mg = _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diagH,
                        matvec0=lambda v: pell.apply(H, v))
-    precond = lambda r: (lambda z: z - jnp.mean(z))(mg(r))
+    precond = lambda r: defl(mg(r))
     rhs_mnorm = jnp.sqrt(jnp.abs(jnp.vdot(b, precond(b))))
     res = krylov.cg(matvec, b, x0=x0, precond=precond, tol=tol, maxiter=chunk,
                     rhs_mnorm=rhs_mnorm, stall_window=_stall_window(b.dtype),
@@ -207,22 +230,26 @@ def _none_chunk(b, x0, H, diagH, mg_levels, mg_coarse, stall,
 
 @functools.partial(jax.jit, static_argnames=("n_groups", "mg_sizes"))
 def _multiple_chunk(b, x0, H, diagH,
-                    group_elems, group_ids, group_winv,
+                    group_elems, group_ids, group_u, group_uinv, vnull,
                     mg_levels, mg_coarse, stall,
                     n_groups: int, tol=1e-5, chunk=CHUNK_ITERS,
                     mg_sizes: tuple = ()):
-    """MULTIPLE mode via projected CG: the reference's per-component
-    equality rows (:211-217,382-389) define the subspace 'phi constant per
-    source component'; solve P H P u = P b with P = componentwise averaging
-    composed with mean deflation (H = -L_dual is singular on constants, as
-    is the reference's KKT — the mean shift fixes the constant afterwards).
-    ``b`` is pre-projected by the caller."""
+    """MULTIPLE mode via projected CG in equilibrated variables: the
+    reference's per-component equality rows (:211-217,382-389) define the
+    subspace 'phi constant per source component', which the scaling maps to
+    'y proportional to ``group_u`` (= sqrt(diag H) at the component
+    vertices) per component'; solve P H P u = P b with P = the weighted
+    per-group projection composed with ``vnull`` deflation (the scaled
+    operator is singular on vnull, as the raw one is on constants — the
+    mean shift fixes that component afterwards, in original variables)."""
 
     def pgroup(v):
-        sums = jax.ops.segment_sum(v[group_elems], group_ids, num_segments=n_groups)
-        return v.at[group_elems].set((sums * group_winv)[group_ids])
+        sums = jax.ops.segment_sum(group_u * v[group_elems], group_ids,
+                                   num_segments=n_groups)
+        return v.at[group_elems].set((sums * group_uinv)[group_ids] * group_u)
 
-    proj = lambda v: (lambda w: w - jnp.mean(w))(pgroup(v))
+    proj = lambda v: (lambda w: w - vnull * jnp.vdot(vnull, w))(pgroup(v))
+    b = proj(b)
 
     def matvec(x):
         return proj(pell.apply(H, x))
@@ -356,6 +383,25 @@ def integrate_greedily_tet(mesh: TetMesh, Y: np.ndarray, seeds: np.ndarray) -> n
                 visited[nb] = True
                 queue.append(int(nb))
     return phi
+
+
+def _vertex_scale(H_scipy) -> np.ndarray:
+    """Equilibration scale s = 1/sqrt(diag H) (f64), with the same
+    positivity repair the Jacobi diagonal uses (fem.build_dual_laplacian
+    repairs negative-star rows; any residual non-positive diagonal maps to
+    scale 1 so the row is passed through unscaled)."""
+    d = np.asarray(H_scipy.diagonal())
+    return 1.0 / np.sqrt(np.where(d > 0, d, 1.0))
+
+
+def _equilibrated(H_scipy, s: Optional[np.ndarray] = None):
+    """S H S as CSR (unit diagonal wherever diag H > 0)."""
+    import scipy.sparse as sp
+
+    if s is None:
+        s = _vertex_scale(H_scipy)
+    S = sp.diags(s)
+    return (S @ H_scipy @ S).tocsr()
 
 
 def _component_rows(labels: np.ndarray, src_vertex: np.ndarray):
@@ -591,10 +637,19 @@ class SignedHeatTetSolver:
             cr_face_areas=(None if cr_face_areas is None
                            else np.asarray(cr_face_areas, np.float64)),
             vamg=vamg,
+            vertex_v=SignedHeatTetSolver.VERTEX_V,
         )
 
     #: device-side vertex-path operator keys (built by _build_vertex_ops)
-    VERTEX_KEYS = ("H_ell", "diagH", "div_rows", "div_tets", "div_gvec")
+    VERTEX_KEYS = ("H_ell", "diagH", "div_rows", "div_tets", "div_gvec",
+                   "vscale", "vnull")
+
+    #: vertex-family artifact encoding version: bump when the DEVICE-side
+    #: operator encoding changes so stale disk artifacts rebuild their
+    #: vertex family from the (expensive, still-valid) cached mesh instead
+    #: of mixing encodings.  v2 = equilibrated operator panels + hierarchy
+    #: (vscale/vnull vectors); v1 (implicit, key absent) = raw operator.
+    VERTEX_V = 2
 
     @staticmethod
     def _cr_surface_info(mesh: TetMesh, geom, sources):
@@ -619,24 +674,36 @@ class SignedHeatTetSolver:
     @staticmethod
     def _build_vertex_ops(mesh: TetMesh, np_dtype, pad: int):
         """(H_scipy, device-panel dict) for the vertex (dual-Laplacian)
-        Step 3 — final dtypes, one batched transfer at the call site."""
+        Step 3 — final dtypes, one batched transfer at the call site.
+
+        ``H_scipy`` is the RAW operator (host f64 refinement and oracles
+        act on it); the device panels hold the symmetrically EQUILIBRATED
+        operator S H S, S = diag(1/sqrt(diag H)), plus the change-of-
+        variable vectors ``vscale`` (= diag of S) and ``vnull`` (unit
+        null direction of the scaled operator) — see the chunk-function
+        header comment for why and for the null-space caveat."""
         dual = fem.build_dual_laplacian(mesh)
         H_scipy = (-dual.to_scipy()).tocsr()  # positive (semi)definite
-        diagH = H_scipy.diagonal()
+        s = _vertex_scale(H_scipy)
+        Hs = _equilibrated(H_scipy, s)
+        diagH = Hs.diagonal()  # ~1 by construction; guard stays for repair
         diagH = np.where(diagH > 0, diagH, 1.0)
+        u = 1.0 / s
         return H_scipy, dict(
             # high-degree vertices skew the dual-Laplacian row widths
             # (knot: width 68 panel for ~13/row mean, 4.4x padding waste);
             # single-chip solves store it sliced, multi-chip keeps the
             # GSPMD-shardable single panel (ell.SlicedEll docstring)
-            H_ell=(ell.build_sliced(H_scipy, np_dtype)
-                   if pad == 1 and H_scipy.nnz >= amg.SLICED_MIN_NNZ
-                   and ell.sliced_waste(H_scipy) > 1.5
-                   else ell.build_ell(H_scipy, np_dtype, pad_rows_to=pad)),
+            H_ell=(ell.build_sliced(Hs, np_dtype)
+                   if pad == 1 and Hs.nnz >= amg.SLICED_MIN_NNZ
+                   and ell.sliced_waste(Hs) > 1.5
+                   else ell.build_ell(Hs, np_dtype, pad_rows_to=pad)),
             div_rows=np.asarray(dual.div_rows, np.int32),
             div_tets=np.asarray(dual.div_tets, np.int32),
             div_gvec=np.asarray(dual.div_gvec, np_dtype),
             diagH=diagH.astype(np_dtype),
+            vscale=s.astype(np_dtype),
+            vnull=(u / np.linalg.norm(u)).astype(np_dtype),
         )
 
     @staticmethod
@@ -645,7 +712,9 @@ class SignedHeatTetSolver:
         constraint mode; other modes build lazily per process
         (_hierarchy)."""
         mode = options.level_set_constraint
-        Hh = H_scipy
+        # hierarchy on the EQUILIBRATED operator, masked after scaling —
+        # matching the chunk matvec mask*(SHS)(mask x) + (1-mask)x exactly
+        Hh = _equilibrated(H_scipy)
         if mode == LevelSetConstraint.ZERO_SET:
             mask = np.ones(Hh.shape[0])
             mask[:mesh.n_src] = 0.0
@@ -682,8 +751,17 @@ class SignedHeatTetSolver:
         """Operator-cache entry from a prepared (possibly memory-mapped)
         tree: scipy wrappers + one batched device transfer."""
         mesh: TetMesh = prepared["mesh"]
+        # vertex-family encoding gate: an artifact written before VERTEX_V
+        # carries raw (unequilibrated) panels/hierarchies — drop that family
+        # and let _ensure_vertex_ops rebuild it from the cached mesh (and
+        # merge the upgrade back to disk); the mesh/CR/quadrature state in
+        # the artifact stays valid.
+        stale_vertex = (prepared.get("H_csr") is not None
+                        and prepared.get("vertex_v", 1)
+                        < SignedHeatTetSolver.VERTEX_V)
         H_scipy = (prepared["H_csr"].to_scipy()
-                   if prepared["H_csr"] is not None else None)
+                   if prepared["H_csr"] is not None and not stale_vertex
+                   else None)
         if H_scipy is not None and checks.enabled():
             # sanitizer: the segment-sum assembly must stay symmetric
             # (CG assumes it; an asymmetric dedup is silently wrong)
@@ -700,13 +778,17 @@ class SignedHeatTetSolver:
         # vertex-path use (_ensure_vertex_ops).
         VERTEX_KEYS = SignedHeatTetSolver.VERTEX_KEYS
         dev_host = dict(prepared["dev"])
+        if stale_vertex:
+            for k in VERTEX_KEYS:
+                dev_host.pop(k, None)
         vertex_host = None
         if prepared["cr"] is not None and "H_ell" in dev_host:
             vertex_host = {k: dev_host.pop(k) for k in VERTEX_KEYS}
         device = ell.device_put_tree(dict(
             dev=dev_host,
-            vamg={k: (h.levels, h.coarse_inv)
-                  for k, h in prepared["vamg"].items()},
+            vamg=({} if stale_vertex else
+                  {k: (h.levels, h.coarse_inv)
+                   for k, h in prepared["vamg"].items()}),
         ), self.mesh)
         amg_cache = {
             LevelSetConstraint(k): amg.AMGHierarchy(
@@ -769,11 +851,18 @@ class SignedHeatTetSolver:
                     lev, cinv, h.sizes, h.l0_nnz)
 
         def mutate(prepared):
-            if prepared.get("H_csr") is not None:
+            if (prepared.get("H_csr") is not None
+                    and prepared.get("vertex_v", 1)
+                    >= SignedHeatTetSolver.VERTEX_V):
                 return False
-            prepared["dev"] = dict(prepared["dev"], **vdev)
+            # replace (don't merge) any pre-VERTEX_V vertex family: old
+            # panels/hierarchies use the raw-operator encoding
+            prepared["dev"] = {k: v for k, v in prepared["dev"].items()
+                               if k not in SignedHeatTetSolver.VERTEX_KEYS}
+            prepared["dev"].update(vdev)
             prepared["H_csr"] = ell.CSR64.from_scipy(H_scipy)
-            prepared["vamg"] = dict(prepared.get("vamg", {}), **vamg)
+            prepared["vamg"] = dict(vamg)
+            prepared["vertex_v"] = SignedHeatTetSolver.VERTEX_V
             return True
 
         self._upgrade_artifact(cached, options, mutate)
@@ -821,7 +910,7 @@ class SignedHeatTetSolver:
         (operator-cache artifact; the default mode is persisted by
         _prepare_host, others build lazily per process)."""
         if mode not in cached["amg"]:
-            H = cached["H_scipy"]
+            H = _equilibrated(cached["H_scipy"])
             if mode == LevelSetConstraint.ZERO_SET:
                 mask = np.ones(H.shape[0])
                 mask[:n_src] = 0.0
@@ -848,18 +937,32 @@ class SignedHeatTetSolver:
         cost = hierarchy_iter_seconds(h, l0=cached["H_ell"])
         solve_stats: dict = {}
         H64 = cached["H_scipy"]
+        # device solves run in equilibrated variables (chunk-function header
+        # comment): scale the rhs into them, unscale the solution out; the
+        # host f64 refinement ops below stay in ORIGINAL variables (run()
+        # presents an original-variable solve to _refined_solve)
+        vs = cached["vscale"]
         div64 = np.asarray(div, np.float64)
         zeros = ell.replicated(np.zeros(n), dtype, self.mesh)
+
+        def scaled_run(chunk_of):
+            def run(b):
+                bs = vs * b
+                y, iters, res = _run_chunked(
+                    lambda x0, c, s: chunk_of(bs, x0, c, s),
+                    zeros, tol, maxiter, iter_seconds=cost,
+                    stats=solve_stats)
+                return vs * y, iters, res
+            return run
+
         if mode == LevelSetConstraint.ZERO_SET:
             mask64 = np.ones(n)
             mask64[:mesh.n_src] = 0.0
             b64 = mask64 * -div64
             host_op = lambda x: mask64 * (H64 @ (mask64 * x)) + (1.0 - mask64) * x
-            run = lambda b: _run_chunked(
-                lambda x0, c, s: _zeroset_chunk(
-                    b, x0, *op, *mg, s, n=n, n_src=mesh.n_src, tol=tol,
-                    chunk=c, mg_sizes=h.sizes),
-                zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
+            run = scaled_run(lambda bs, x0, c, s: _zeroset_chunk(
+                bs, x0, *op, *mg, s, n=n, n_src=mesh.n_src, tol=tol,
+                chunk=c, mg_sizes=h.sizes))
             phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
                                                device_mesh=self.mesh)
             phi = jnp.asarray(phi, dtype)
@@ -870,9 +973,16 @@ class SignedHeatTetSolver:
             _, gids = np.unique(cached["src_labels"][first], return_inverse=True)
             sizes = np.bincount(gids).astype(np.float64)
             n_groups = int(gids.max()) + 1
+            # scaled-space group projection weights: u = sqrt(diag H) at the
+            # component vertices (see _multiple_chunk docstring)
+            u64 = 1.0 / _vertex_scale(H64)
+            ue = u64[elems]
+            uinv = 1.0 / np.bincount(gids, weights=ue ** 2,
+                                     minlength=n_groups)
             gparts = ell.device_put_tree(dict(
                 elems=elems.astype(np.int32), gids=gids.astype(np.int32),
-                winv=(1.0 / sizes).astype(np.dtype(dtype))))
+                u=ue.astype(np.dtype(dtype)),
+                uinv=uinv.astype(np.dtype(dtype))))
 
             def proj64(v):
                 v = np.array(v, copy=True)
@@ -882,12 +992,11 @@ class SignedHeatTetSolver:
 
             b64 = proj64(-div64)
             host_op = lambda x: proj64(H64 @ x)
-            run = lambda b: _run_chunked(
-                lambda x0, c, s: _multiple_chunk(
-                    b, x0, *op,
-                    gparts["elems"], gparts["gids"], gparts["winv"], *mg, s,
-                    n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes),
-                zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
+            run = scaled_run(lambda bs, x0, c, s: _multiple_chunk(
+                bs, x0, *op,
+                gparts["elems"], gparts["gids"], gparts["u"], gparts["uinv"],
+                cached["vnull"], *mg, s,
+                n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes))
             x, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
                                                device_mesh=self.mesh)
             phi = self._shift(jnp.asarray(x, dtype), mesh, cached)
@@ -895,10 +1004,9 @@ class SignedHeatTetSolver:
             b64 = -div64
             b64 = b64 - b64.mean()
             host_op = lambda x: (lambda y: y - y.mean())(H64 @ x)
-            run = lambda b: _run_chunked(
-                lambda x0, c, s: _none_chunk(
-                    b, x0, *op, *mg, s, n=n, tol=tol, chunk=c, mg_sizes=h.sizes),
-                zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
+            run = scaled_run(lambda bs, x0, c, s: _none_chunk(
+                bs, x0, *op, cached["vnull"], *mg, s, n=n, tol=tol,
+                chunk=c, mg_sizes=h.sizes))
             phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
                                                device_mesh=self.mesh)
             phi = self._shift(jnp.asarray(phi, dtype), mesh, cached)
