@@ -96,6 +96,13 @@ class SignedHeatOptions:
     # when the f64 relative residual is already below refine_target.
     refine_steps: int = 1
     refine_target: float = 1e-9
+    # Residual precision source for the grid-path refinement:
+    #   "pair" (default) — device-resident two-float (double-f32) residuals
+    #     (solve/twofloat): no bulk host<->device transfers; at 256^3 over
+    #     the remote TPU tunnel the old host path spent ~60 s/solve moving
+    #     the (N,3) field + (N,) iterates and running slow-host stencils.
+    #   "host" — the round-2/3 behavior: exact NumPy f64 residuals on host.
+    refine_mode: str = "pair"
     # Verbose per-phase timing (reference: VERBOSE stderr diagnostics,
     # /root/reference/src/main.cpp:76-101).
     verbose: bool = False

@@ -102,3 +102,85 @@ def divergence_apply(Y: jnp.ndarray, cell_size) -> jnp.ndarray:
     primal = jnp.zeros(shape, dtype=Y.dtype)
     (div,) = jax.linear_transpose(f, primal)(Y)
     return div
+
+
+# ---------------------------------------------------------------------------
+# two-float (pair) variants for device-resident defect correction
+#
+# The refinement residual r = b - H u cancels most of its operands'
+# magnitude; evaluating it in plain f32 caps refinement at ~1e-7 relative.
+# These variants carry the CANCELLING sums as error-free (hi, lo) pairs
+# (solve/twofloat): the +-1-coefficient stencil sums are compensated exactly
+# and the 1/h, 1/h^2 scalings multiply by a host-split f64 pair scalar, so
+# no systematic 1e-7 operator-scale error enters the residual.
+
+
+def _scalar_pair(c: float, dtype):
+    """Host-split f64 scalar -> (hi, lo) pair of ``dtype``."""
+    import numpy as np
+
+    np_dtype = np.dtype(str(jnp.dtype(dtype)))
+    hi = np_dtype.type(c)
+    lo = np_dtype.type(np.float64(c) - np.float64(hi))
+    return hi, lo
+
+
+def _mul_scalar_pair(x, c_hi, c_lo):
+    from ..solve import twofloat as tf
+
+    p, pe = tf.two_prod(x[0], c_hi)
+    return tf.fast_two_sum(p, pe + (x[0] * c_lo + x[1] * c_hi))
+
+
+def laplacian_apply_pair(u_hi: jnp.ndarray, u_lo: jnp.ndarray, cell_size):
+    """Pair-accurate L u for the mirrored 7-point Laplacian on a pair field
+    (u_hi, u_lo).  Returns an (hi, lo) pair equal to the exact f64 stencil
+    applied to (u_hi + u_lo) up to ~2^-48 relative."""
+    from ..solve import twofloat as tf
+
+    up = jnp.pad(u_hi, 1, mode="edge")
+    p, pe = tf.two_prod(u_hi, jnp.asarray(-6.0, u_hi.dtype))
+    s = tf.sum_pair([
+        p,
+        up[2:, 1:-1, 1:-1], up[:-2, 1:-1, 1:-1],
+        up[1:-1, 2:, 1:-1], up[1:-1, :-2, 1:-1],
+        up[1:-1, 1:-1, 2:], up[1:-1, 1:-1, :-2],
+    ])
+    s = (s[0], s[1] + pe)
+    # the low component is ~2^-24 of the high one: plain precision suffices
+    s = tf.add_f32(s, laplacian_apply(u_lo, 1.0))
+    c_hi, c_lo = _scalar_pair(1.0 / (float(cell_size) * float(cell_size)),
+                              u_hi.dtype)
+    return _mul_scalar_pair(s, c_hi, c_lo)
+
+
+def _adjoint_terms(y: jnp.ndarray, axis: int):
+    """Signed +-1-coefficient term arrays of the UNSCALED adjoint of the
+    forward-difference gradient along ``axis`` (far-boundary backward
+    fallback): (D^T y)_j = y_{j-1} - y_j for interior j, with
+    (D^T y)_0 = -y_0, (D^T y)_{n-2} = y_{n-3} - y_{n-2} - y_{n-1},
+    (D^T y)_{n-1} = y_{n-2} + y_{n-1}."""
+    n = y.shape[axis]
+    assert n >= 3, "pair divergence requires >= 3 nodes per axis"
+    zero = jnp.zeros_like(jax.lax.slice_in_dim(y, 0, 1, axis=axis))
+    ym1 = jnp.concatenate(
+        [zero, jax.lax.slice_in_dim(y, 0, n - 1, axis=axis)], axis=axis)
+    y_last = jax.lax.slice_in_dim(y, n - 1, n, axis=axis)
+    head_shape = list(y.shape)
+    head_shape[axis] = n - 2
+    zeros_head = jnp.zeros(head_shape, y.dtype)
+    corr = jnp.concatenate([zeros_head, -y_last, 2.0 * y_last], axis=axis)
+    return [ym1, -y, corr]
+
+
+def divergence_apply_pair(Y: jnp.ndarray, cell_size):
+    """Pair-accurate D^T Y (same adjoint as ``divergence_apply``; validated
+    against it in f64 by tests/test_twofloat.py)."""
+    from ..solve import twofloat as tf
+
+    terms = []
+    for comp in range(3):
+        terms.extend(_adjoint_terms(Y[..., comp], _COMPONENT_AXIS[comp]))
+    s = tf.sum_pair(terms)
+    c_hi, c_lo = _scalar_pair(1.0 / float(cell_size), Y.dtype)
+    return _mul_scalar_pair(s, c_hi, c_lo)

@@ -53,6 +53,85 @@ def at_apply(y: jnp.ndarray, nodes8: jnp.ndarray, coeffs8: jnp.ndarray, n: int) 
     )
 
 
+def build_at_table(nodes8: "np.ndarray", coeffs8_f64: "np.ndarray"):
+    """Transposed constraint table for pair-accurate A^T application.
+
+    The constraint rows are deduplicated source CELLS (one trilinear row per
+    occupied cell, domains/grid.py), so any grid node appears in at most its
+    8 surrounding cells' rows — the transpose is a natural width-<=8 ELL
+    gather.  Returns (at_nodes (K,), at_rows (K, W), at_chi, at_clo
+    (K, W)) with -0-coefficient padding; K = touched nodes."""
+    import numpy as np
+
+    m, w8 = nodes8.shape
+    flat_nodes = np.asarray(nodes8, np.int64).reshape(-1)
+    flat_rows = np.repeat(np.arange(m, dtype=np.int64), w8)
+    flat_c = np.asarray(coeffs8_f64, np.float64).reshape(-1)
+    order = np.argsort(flat_nodes, kind="stable")
+    sn, sr, sc = flat_nodes[order], flat_rows[order], flat_c[order]
+    at_nodes, starts = np.unique(sn, return_index=True)
+    counts = np.diff(np.append(starts, sn.size))
+    W = int(counts.max())
+    K = at_nodes.size
+    at_rows = np.zeros((K, W), np.int32)
+    at_c = np.zeros((K, W), np.float64)
+    pos = (np.arange(sn.size) - starts[np.searchsorted(at_nodes, sn)])
+    at_rows[np.searchsorted(at_nodes, sn), pos] = sr.astype(np.int32)
+    at_c[np.searchsorted(at_nodes, sn), pos] = sc
+    c_hi = at_c.astype(np.float32)
+    c_lo = (at_c - c_hi).astype(np.float32)
+    return (at_nodes.astype(np.int32), at_rows, c_hi, c_lo)
+
+
+def at_sub_pair(r_hi, r_lo, z1, z2, at_nodes, at_rows, at_chi, at_clo):
+    """(r - A^T z) in pair precision, z delivered as the split (z1, z2).
+
+    A plain f32 ``.at[].add`` scatter of A^T z rounds at ~1e-7 * ||z||
+    absolute — with ||z|| set by the RAW (unprojected) residual's A^T-lambda
+    component, that noise floors the measured projected residual near
+    1e-9 * ||b|| regardless of the true defect.  Here every touched node's
+    <=8 contributions are summed with compensated two-products against the
+    pair-split coefficients (exact to ~2^-48) and merged into r with a
+    single per-node pair update (no accumulation, so no scatter rounding)."""
+    from . import twofloat as tf
+
+    zg1 = z1[at_rows]
+    zg2 = z2[at_rows]
+    s, e = tf.two_prod(at_chi[:, 0], zg1[:, 0])
+    e = e + (at_chi[:, 0] * zg2[:, 0] + at_clo[:, 0] * zg1[:, 0])
+    for k in range(1, at_rows.shape[1]):
+        p, pe = tf.two_prod(at_chi[:, k], zg1[:, k])
+        s, se = tf.two_sum(s, p)
+        e = e + (se + pe + at_chi[:, k] * zg2[:, k] + at_clo[:, k] * zg1[:, k])
+    v = tf.fast_two_sum(s, e)
+    sub = tf.add((r_hi[at_nodes], r_lo[at_nodes]), tf.neg(v))
+    return (r_hi.at[at_nodes].set(sub[0]), r_lo.at[at_nodes].set(sub[1]))
+
+
+def a_apply_pair(u_hi, u_lo, nodes8, c_hi, c_lo):
+    """Pair-accurate A u for a pair field against PAIR-SPLIT coefficients
+    (c_hi + c_lo == the exact f64 trilinear weights).
+
+    Needed wherever u lies near ker(A): each 8-term row sum then cancels to
+    ~1e-5..1e-10 of its operands, and a plain-f32 evaluation (or exact
+    evaluation against f32-rounded coefficients) reports A u with an
+    absolute ~1e-7 * |u| error — which, fed into the Gram solve, re-injects
+    that noise into the projected iterate.  Compensated two-product row
+    sums against the split coefficients keep the evaluation faithful to the
+    host f64 Gram operator to ~2^-48.  Returns an (m,) (hi, lo) pair."""
+    from . import twofloat as tf
+
+    g_hi = u_hi[nodes8]
+    g_lo = u_lo[nodes8]
+    s, e = tf.two_prod(g_hi[:, 0], c_hi[:, 0])
+    e = e + (g_hi[:, 0] * c_lo[:, 0] + g_lo[:, 0] * c_hi[:, 0])
+    for k in range(1, nodes8.shape[1]):
+        p, pe = tf.two_prod(g_hi[:, k], c_hi[:, k])
+        s, se = tf.two_sum(s, p)
+        e = e + (se + pe + g_hi[:, k] * c_lo[:, k] + g_lo[:, k] * c_hi[:, k])
+    return tf.fast_two_sum(s, e)
+
+
 class GramTable(NamedTuple):
     """Gram-matrix artifacts of A A^T (host-extracted cache artifact).
 

@@ -243,6 +243,73 @@ def _hp_step3(r, Mr, z2, p, rz, nodes8, coeffs8):
     return p, rz_new
 
 
+# --- two-float (pair) defect correction, device-resident ------------------
+# See solve/twofloat module docstring.  Only the cancelling sums (rhs
+# divergence, residual b - H u, accumulation of corrections into u) carry
+# pairs; the projection's Gram solve stays the exact host f64 splu (cheap
+# (m,)-sized crossings), and the correction solve is the ordinary f32
+# projected MG-PCG — its rounding is relative to the already-small residual.
+
+
+@functools.partial(jax.jit, static_argnames=("cell_size", "shape", "guard_nans"))
+def _pair_rhs(Y, cell_size: float, shape, guard_nans: bool):
+    """b = -div(Y) as an (hi, lo) pair, with the mesh-path NaN guard applied
+    to both components (signed_heat_grid_solver.cpp:72-74)."""
+    d = stencil.divergence_apply_pair(Y.reshape(*shape, 3), cell_size)
+    hi, lo = -d[0].reshape(-1), -d[1].reshape(-1)
+    if guard_nans:
+        ok = jnp.isfinite(hi) & jnp.isfinite(lo)
+        hi = jnp.where(ok, hi, 0.0)
+        lo = jnp.where(ok, lo, 0.0)
+    return hi, lo
+
+
+@functools.partial(jax.jit, static_argnames=("cell_size", "shape"))
+def _pair_residual(b_hi, b_lo, u_hi, u_lo, nodes8, coeffs8, cell_size: float,
+                   shape):
+    """r = b - H u in pair precision (H = -L, so r = b + L u) plus the
+    constraint image A r (one (m,)-sized host pull for the Gram solve)."""
+    from ..solve import twofloat as tf
+
+    lap = stencil.laplacian_apply_pair(
+        u_hi.reshape(shape), u_lo.reshape(shape), cell_size)
+    r = tf.add((b_hi, b_lo), (lap[0].reshape(-1), lap[1].reshape(-1)))
+    a = projection.a_apply_pair(r[0], r[1], nodes8, coeffs8[0], coeffs8[1])
+    return r[0], r[1], a[0], a[1]
+
+
+@jax.jit
+def _pair_project_finish(r_hi, r_lo, z1, z2, at_nodes, at_rows, at_chi, at_clo):
+    """r <- r - A^T z with z = (AA^T)^{-1} A r from the host Gram solve,
+    delivered as the f32 pair (z1, z2) and applied through the exact
+    transposed-ELL gather (projection.at_sub_pair); returns the projected
+    pair plus ||r_hi||^2 and max|r_hi| (scalars pulled by the host
+    driver)."""
+    r_hi, r_lo = projection.at_sub_pair(r_hi, r_lo, z1, z2,
+                                        at_nodes, at_rows, at_chi, at_clo)
+    return r_hi, r_lo, jnp.vdot(r_hi, r_hi), jnp.abs(r_hi).max()
+
+
+@jax.jit
+def _pair_axpy(u_hi, u_lo, d, nodes8, c_hi, c_lo):
+    """(u_hi, u_lo) + d without losing the accumulated low part, plus the
+    pair-accurate constraint image of the updated iterate (for the host
+    Gram solve that re-projects it onto ker(A) — the correction only lies
+    in the kernel to its own solver tolerance, and without re-projection
+    the drift's P H w term floors refinement near 1e-9)."""
+    from ..solve import twofloat as tf
+
+    u = tf.add((u_hi, u_lo), (d, jnp.zeros_like(d)))
+    a = projection.a_apply_pair(u[0], u[1], nodes8, c_hi, c_lo)
+    return u[0], u[1], a[0], a[1]
+
+
+@jax.jit
+def _pair_a_j(v_hi, v_lo, nodes8, c_hi, c_lo):
+    a = projection.a_apply_pair(v_hi, v_lo, nodes8, c_hi, c_lo)
+    return a[0], a[1]
+
+
 def _solve_pinned_hostproj(
     b, nodes8, coeffs8, host_gram, cell_size, shape, tol: float, maxiter: int, x0=None
 ):
@@ -625,12 +692,16 @@ class GridSolver:
         return GridResult(phi, grid, Y, u_dev=u_dev)
 
     def _refine(self, u, Y, cached, grid, is_mesh, options, tm=None):
-        """f64 defect correction around the f32 device solve.
+        """Defect correction around the f32 device solve.
 
-        Computes the exact f64 residual of the projected system (host, using
-        a cached splu factorization of the constraint Gram matrix), skips
-        entirely when the f32 solve already meets ``options.refine_target``,
-        and otherwise re-solves the scaled defect on device."""
+        Dispatches on ``options.refine_mode``: "pair" (default) runs the
+        device-resident two-float path (_refine_pair); "host" computes exact
+        f64 residuals of the projected system on host (cached splu
+        factorization of the constraint Gram matrix), skips entirely when
+        the f32 solve already meets ``options.refine_target``, and otherwise
+        re-solves the scaled defect on device."""
+        if options.refine_mode == "pair":
+            return self._refine_pair(u, Y, cached, grid, is_mesh, options, tm)
         shape = grid.shape
         N = grid.total_nodes
         nodes8 = np.asarray(cached["nodes8"])
@@ -679,6 +750,98 @@ class GridSolver:
             # last correction — the accuracy certificate bench.py reports
             self.last_stats["refine_rel_res"] = float(rel)
         return jnp.asarray(u64, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32)
+
+    def _refine_pair(self, u, Y, cached, grid, is_mesh, options, tm=None):
+        """Device-resident defect correction with two-float residuals.
+
+        Functionally the "host" path (_refine) with the f64 host stencils
+        replaced by error-free pair arithmetic on device: per pass, the only
+        host<->device traffic is two (m,)-sized constraint vectors for the
+        exact f64 Gram solve plus two scalars — vs the host path's (N,3)
+        field pull, (N,) iterate round-trips and slow-host f64 stencils
+        (measured ~60 s/solve at 256^3 over the TPU tunnel).  The f32
+        correction solves are unchanged; ``refine_rel_res`` is the
+        pair-measured relative residual of the projected system (exact to
+        ~1e-6 of its own value — the f32 norm's accumulation error)."""
+        from ..solve import twofloat as tf
+
+        shape = grid.shape
+        N = grid.total_nodes
+        host = cached.get("host_gram")
+        if host is None:
+            host = projection.host_gram_factor(
+                np.asarray(cached["nodes8"]), cached["coeffs8_f64"], N)
+            cached["host_gram"] = host
+        _, lu = host
+        dtype = u.dtype
+        nodes8 = jnp.asarray(np.asarray(cached["nodes8"]), jnp.int32)
+        cpair = cached.get("_coeffs8_pair")
+        if cpair is None:
+            c64 = np.asarray(cached["coeffs8_f64"], np.float64)
+            c_hi = c64.astype(np.float32)
+            cpair = (jnp.asarray(c_hi), jnp.asarray((c64 - c_hi).astype(np.float32)))
+            cached["_coeffs8_pair"] = cpair
+        c_hi, c_lo = cpair
+        at_table = cached.get("_at_table")
+        if at_table is None:
+            at_table = tuple(jnp.asarray(a) for a in projection.build_at_table(
+                np.asarray(cached["nodes8"]), cached["coeffs8_f64"]))
+            cached["_at_table"] = at_table
+        cell = float(grid.cell_size)
+        tiny = float(np.finfo(np.float64).tiny)
+
+        def project(r_hi, r_lo, a_hi, a_lo):
+            z = lu.solve(np.asarray(a_hi, np.float64)
+                         + np.asarray(a_lo, np.float64))
+            z1 = z.astype(np.float32)
+            z2 = (z - z1).astype(np.float32)
+            return _pair_project_finish(r_hi, r_lo, jnp.asarray(z1),
+                                        jnp.asarray(z2), *at_table)
+
+        b_hi, b_lo = _pair_rhs(Y, cell, shape, is_mesh)
+        _, _, bn2, _ = project(b_hi, b_lo,
+                               *_pair_a_j(b_hi, b_lo, nodes8, c_hi, c_lo))
+        bnorm = max(float(np.sqrt(float(bn2))), tiny)
+
+        # restore A u = 0 before measuring the defect (matches the host
+        # path's exact-f64 iterate projection); the pair-accurate A keeps
+        # the near-kernel cancellation faithful (projection.a_apply_pair)
+        zero = jnp.zeros_like(u)
+        u_hi, u_lo, _, _ = project(u, zero, *_pair_a_j(u, zero, nodes8,
+                                                       c_hi, c_lo))
+
+        def defect(u_hi, u_lo):
+            r_hi, r_lo, a_hi, a_lo = _pair_residual(
+                b_hi, b_lo, u_hi, u_lo, nodes8, cpair, cell, shape)
+            r_hi, r_lo, rn2, rmax = project(r_hi, r_lo, a_hi, a_lo)
+            return r_hi, r_lo, float(np.sqrt(float(rn2))) / bnorm, float(rmax)
+
+        rel = None
+        rels = self.last_stats.setdefault("refine_pass_rels", [])
+        for _ in range(options.refine_steps):
+            r_hi, _, rel, rmax = defect(u_hi, u_lo)
+            rels.append(float("%.3e" % rel))
+            if not np.isfinite(rel) or rel <= options.refine_target:
+                if tm is not None:
+                    tm.note(f"pair refine skipped/stopped at rel_res={rel:.2e}")
+                break
+            scale = rmax if rmax > 0 else 1.0
+            dx = self._correction_solve(r_hi / dtype.type(scale), cached,
+                                        grid, options)
+            u_hi, u_lo, au_hi, au_lo = _pair_axpy(
+                u_hi, u_lo, jnp.asarray(dx, dtype) * dtype.type(scale),
+                nodes8, c_hi, c_lo)
+            u_hi, u_lo, _, _ = project(u_hi, u_lo, au_hi, au_lo)
+        else:
+            if rel is not None:  # steps exhausted: measure the achieved defect
+                _, _, rel, _ = defect(u_hi, u_lo)
+        if rel is not None:
+            self.last_stats["refine_rel_res"] = float(rel)
+        if jax.config.jax_enable_x64:
+            # CPU/x64: hand back the full pair precision (tests compare
+            # against f64 oracles)
+            return u_hi.astype(jnp.float64) + u_lo.astype(jnp.float64)
+        return u_hi + u_lo  # f32 output: the pair collapses to hi
 
     def _correction_solve(self, rhs_np, cached, grid, options):
         """Projected MG-PCG on the defect (same operator, arbitrary RHS).
