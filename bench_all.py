@@ -114,22 +114,73 @@ CONFIGS = {
 }
 
 
+def _run_one_subprocess(key: str, timeout_s: int):
+    """Run one config in a FRESH interpreter and parse its JSON line.
+
+    Isolation is load-bearing on the tunneled TPU: the worker's HBM reclaim
+    for a dead/errored client can lag, so consecutive large configs in one
+    process turn a single RESOURCE_EXHAUSTED into a poisoned sweep
+    (round-4 bench: knot OOM'd and every later config — even the 16^3
+    ones — failed in the same process).  A fresh client per config also
+    matches the BASELINE cold protocol (cold = fresh-process first solve)."""
+    import subprocess
+
+    name = CONFIGS[key][0]
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", key],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return {"metric": name, "error": f"timeout after {timeout_s} s"}
+    for line in reversed(proc.stdout.splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-3:]
+    return {"metric": name,
+            "error": f"no JSON (rc={proc.returncode}): {' | '.join(tail)}"}
+
+
+#: generous per-config wall bound: first-ever Pallas compiles at knot scale
+#: take minutes over the tunnel (CLAUDE.md) on top of host meshing
+_CONFIG_TIMEOUT_S = int(os.environ.get("SHM3D_BENCH_CONFIG_TIMEOUT", "2700"))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", default=",".join(CONFIGS),
                     help="comma-separated subset of " + ",".join(CONFIGS))
     ap.add_argument("--json-only", action="store_true",
                     help="skip the BENCH_TABLE.md write")
+    ap.add_argument("--one", default=None, help=argparse.SUPPRESS)
+    ap.add_argument("--in-process", action="store_true",
+                    help="run configs in this process (no subprocess isolation)")
     args = ap.parse_args()
+
+    if args.one is not None:
+        name, asset, domain, kw = CONFIGS[args.one]
+        try:
+            row = _solve_config(name, asset, domain, kw)
+        except Exception as e:
+            row = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+        print(json.dumps(row), flush=True)
+        return
 
     rows = []
     for key in args.configs.split(","):
         key = key.strip()
         name, asset, domain, kw = CONFIGS[key]
-        try:
-            row = _solve_config(name, asset, domain, kw)
-        except Exception as e:  # keep sweeping; report the failure
-            row = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+        if args.in_process:
+            try:
+                row = _solve_config(name, asset, domain, kw)
+            except Exception as e:  # keep sweeping; report the failure
+                row = {"metric": name, "error": f"{type(e).__name__}: {e}"}
+        else:
+            row = _run_one_subprocess(key, _CONFIG_TIMEOUT_S)
         rows.append(row)
         print(json.dumps(row), flush=True)
 

@@ -96,6 +96,16 @@ class SignedHeatOptions:
     # when the f64 relative residual is already below refine_target.
     refine_steps: int = 1
     refine_target: float = 1e-9
+    # Relative tolerance of each tet-path defect-CORRECTION solve (the
+    # refinement only needs a modest contraction per pass; the final
+    # accuracy is the product of per-pass contractions).  Chasing the
+    # primary solve's tolerance on the correction rhs is pathological on
+    # ill-conditioned CR systems: the f64 residual concentrates on sliver
+    # modes (the dual of a random rhs, dev-notes knot study) — measured
+    # knot@h=1: the first CR solve converges in 79 iterations, the
+    # correction solve then burned 1,232 more crawling to its f32 floor
+    # (~15x the primary cost for one decade beyond 1e-7).
+    refine_solver_tol: float = 1e-2
     # Residual precision source for the grid-path refinement:
     #   "pair" (default) — device-resident two-float (double-f32) residuals
     #     (solve/twofloat): no bulk host<->device transfers; at 256^3 over

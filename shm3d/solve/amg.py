@@ -258,7 +258,7 @@ def _filter_operator(A, drop_tol: float):
     comp = np.bincount(C.row[dropped], weights=np.abs(C.data[dropped]),
                        minlength=A.shape[0])
     out = sp.csr_matrix((C.data[keep], (C.row[keep], C.col[keep])), shape=A.shape)
-    out = (out + sp.diags(comp)).tocsr()
+    out = (out + sp.diags(comp.astype(out.dtype))).tocsr()
     out.sum_duplicates()
     return out
 

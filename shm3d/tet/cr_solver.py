@@ -75,13 +75,34 @@ def find_surface_faces(mesh: TetMesh, src_faces: np.ndarray) -> Optional[np.ndar
     return order[pos]
 
 
+#: face rows per device program in the divergence gather.  A monolithic
+#: gather over all ~4.5M knot faces made the axon worker raise
+#: RESOURCE_EXHAUSTED (reproducibly, with 14+ GB of HBM measured free and
+#: the same op fine in isolation — some transient per-program worker
+#: resource, not array capacity); 512k-row lax.map slices run reliably and
+#: cost the same wall clock once compiled (measured r4: 12 s compile,
+#: then instant).
+_DIV_CHUNK = 1 << 19
+
+
 @jax.jit
 def _cr_divergence(Y, div_tets2, div_nvec2):
     """Integrated divergence onto faces: div[f] = sum over the <=2 incident
     tets of n_f(outward) . Y_tet (faceDivergence,
     signed_heat_tet_solver.cpp:609-621).  Gather form: (nf, 2) incident-tet
     ids + (nf, 2, 3) signed normals (zero rows pad boundary faces)."""
-    return jnp.einsum("fkj,fkj->f", div_nvec2, Y[div_tets2])
+    nf = div_tets2.shape[0]
+    if nf <= _DIV_CHUNK:
+        return jnp.einsum("fkj,fkj->f", div_nvec2, Y[div_tets2])
+    m = -(-nf // _DIV_CHUNK)
+    pad = m * _DIV_CHUNK - nf
+    tp = jnp.pad(div_tets2, ((0, pad), (0, 0))).reshape(m, _DIV_CHUNK, 2)
+    npad = jnp.pad(div_nvec2, ((0, pad), (0, 0), (0, 0))).reshape(
+        m, _DIV_CHUNK, 2, 3)
+    out = jax.lax.map(
+        lambda args: jnp.einsum("fkj,fkj->f", args[1], Y[args[0]]),
+        (tp, npad))
+    return out.reshape(-1)[:nf]
 
 
 def _mg_or_jacobi(mg_levels, mg_coarse, mg_sizes, diag, matvec0=None):
@@ -528,7 +549,7 @@ class CRPath:
             m64 = self._mask64
             b64 = m64 * div64
             host_op = lambda x: m64 * (H64 @ (m64 * x)) + (1.0 - m64) * x
-            run = lambda b: _run_chunked(
+            run = lambda b, tol=tol: _run_chunked(
                 lambda x0, c, s: _cr_zeroset_chunk(
                     b, x0, a["L"], a["diag"], a["surf_mask"], *mg, s,
                     tol=tol, chunk=c, mg_sizes=h.sizes),
@@ -554,7 +575,7 @@ class CRPath:
 
             b64 = proj64(div64)
             host_op = lambda x: proj64(H64 @ x)
-            run = lambda b: _run_chunked(
+            run = lambda b, tol=tol: _run_chunked(
                 lambda x0, c, s: _cr_multiple_chunk(
                     b, x0, a["L"], a["diag"],
                     gparts["elems"], gparts["gids"], gparts["winv"], *mg, s,
@@ -566,7 +587,7 @@ class CRPath:
         else:
             b64 = div64 - div64.mean()
             host_op = lambda x: (lambda y: y - y.mean())(H64 @ x)
-            run = lambda b: _run_chunked(
+            run = lambda b, tol=tol: _run_chunked(
                 lambda x0, c, s: _cr_none_chunk(
                     b, x0, a["L"], a["diag"], *mg, s,
                     tol=tol, chunk=c, mg_sizes=h.sizes),
@@ -580,7 +601,7 @@ class CRPath:
         b64p = self._AtM_scipy @ phi_f
         P64 = self._P_scipy
         host_opp = lambda x: P64 @ x + shift * x
-        runp = lambda b: _run_chunked(
+        runp = lambda b, tol=tol: _run_chunked(
             lambda x0, c, s: _project_chunk(
                 b, x0, a["P"], a["p_diag"], s,
                 tol=tol, chunk=c, shift=shift),

@@ -332,6 +332,12 @@ def _refined_solve(run, host_op, b64, dtype, options, tm=None, device_mesh=None)
     ``device_mesh``: place right-hand sides on that mesh (replicated) so the
     sharded-operator solves receive co-located inputs.
 
+    ``run(b, tol=None)``: correction passes run with
+    ``options.refine_solver_tol`` — a LOOSE per-pass contraction target
+    (see its config comment; tol is a dynamic jit argument, so no
+    recompile).  The final rel_res is always measured in f64 against the
+    true operator, so a loose pass never misreports accuracy.
+
     Returns (x64, iters_total, rel_res_f64)."""
     b64 = np.asarray(b64, np.float64)
     put = lambda a: ell.replicated(a, dtype, device_mesh)
@@ -346,7 +352,7 @@ def _refined_solve(run, host_op, b64, dtype, options, tm=None, device_mesh=None)
             rel = float(np.linalg.norm(r64)) / bnorm
             if not np.isfinite(rel) or rel <= options.refine_target:
                 break
-            d, it2, _ = run(put(r64))
+            d, it2, _ = run(put(r64), tol=options.refine_solver_tol)
             x64 = x64 + np.asarray(d, np.float64)
             total += int(it2)
         rel = float(np.linalg.norm(b64 - host_op(x64))) / bnorm
@@ -946,10 +952,10 @@ class SignedHeatTetSolver:
         zeros = ell.replicated(np.zeros(n), dtype, self.mesh)
 
         def scaled_run(chunk_of):
-            def run(b):
+            def run(b, tol=tol):
                 bs = vs * b
                 y, iters, res = _run_chunked(
-                    lambda x0, c, s: chunk_of(bs, x0, c, s),
+                    lambda x0, c, s: chunk_of(bs, x0, c, s, tol),
                     zeros, tol, maxiter, iter_seconds=cost,
                     stats=solve_stats)
                 return vs * y, iters, res
@@ -960,8 +966,8 @@ class SignedHeatTetSolver:
             mask64[:mesh.n_src] = 0.0
             b64 = mask64 * -div64
             host_op = lambda x: mask64 * (H64 @ (mask64 * x)) + (1.0 - mask64) * x
-            run = scaled_run(lambda bs, x0, c, s: _zeroset_chunk(
-                bs, x0, *op, *mg, s, n=n, n_src=mesh.n_src, tol=tol,
+            run = scaled_run(lambda bs, x0, c, s, t: _zeroset_chunk(
+                bs, x0, *op, *mg, s, n=n, n_src=mesh.n_src, tol=t,
                 chunk=c, mg_sizes=h.sizes))
             phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
                                                device_mesh=self.mesh)
@@ -992,11 +998,11 @@ class SignedHeatTetSolver:
 
             b64 = proj64(-div64)
             host_op = lambda x: proj64(H64 @ x)
-            run = scaled_run(lambda bs, x0, c, s: _multiple_chunk(
+            run = scaled_run(lambda bs, x0, c, s, t: _multiple_chunk(
                 bs, x0, *op,
                 gparts["elems"], gparts["gids"], gparts["u"], gparts["uinv"],
                 cached["vnull"], *mg, s,
-                n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes))
+                n_groups=n_groups, tol=t, chunk=c, mg_sizes=h.sizes))
             x, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
                                                device_mesh=self.mesh)
             phi = self._shift(jnp.asarray(x, dtype), mesh, cached)
@@ -1004,8 +1010,8 @@ class SignedHeatTetSolver:
             b64 = -div64
             b64 = b64 - b64.mean()
             host_op = lambda x: (lambda y: y - y.mean())(H64 @ x)
-            run = scaled_run(lambda bs, x0, c, s: _none_chunk(
-                bs, x0, *op, cached["vnull"], *mg, s, n=n, tol=tol,
+            run = scaled_run(lambda bs, x0, c, s, t: _none_chunk(
+                bs, x0, *op, cached["vnull"], *mg, s, n=n, tol=t,
                 chunk=c, mg_sizes=h.sizes))
             phi, iters, res = _refined_solve(run, host_op, b64, dtype, options, tm,
                                                device_mesh=self.mesh)
