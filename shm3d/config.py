@@ -122,8 +122,48 @@ class SignedHeatOptions:
     # rebuild-flag cache is per-process only).
     disk_cache: bool = True
 
+    def __post_init__(self):
+        # fail loudly on misconfiguration: a typo'd refine_mode used to fall
+        # through to the slow host-f64 path silently (advisor r4)
+        if self.refine_mode not in ("pair", "host"):
+            raise ValueError(
+                f"refine_mode={self.refine_mode!r}; expected 'pair' or 'host'")
+        if self.step1_method not in ("auto", "dense", "shell"):
+            raise ValueError(
+                f"step1_method={self.step1_method!r}; expected "
+                "'auto', 'dense' or 'shell'")
+        if self.solver_method not in ("projected_cg", "minres_kkt"):
+            raise ValueError(
+                f"solver_method={self.solver_method!r}; expected "
+                "'projected_cg' or 'minres_kkt'")
+
     def with_(self, **kwargs) -> "SignedHeatOptions":
         return dataclasses.replace(self, **kwargs)
+
+    def refine_pass_budget(self, rel0: float) -> int:
+        """Defect-correction pass budget given the measured starting
+        relative residual ``rel0``.
+
+        Each correction pass contracts the true residual by roughly
+        ``refine_solver_tol`` (its loose per-pass target), so reaching
+        ``refine_target`` from ``rel0`` takes about
+        ``log(target/rel0)/log(tol)`` passes.  With a fixed single pass the
+        default tier (refine_steps=1, tol=1e-2) landed ~100x short of
+        refine_target on ill-conditioned CR systems (advisor r4); the
+        budget is derived instead, with ``refine_steps`` as the user floor
+        (0 still disables refinement) and a hard cap of 8 passes so a
+        stalled solve cannot loop unboundedly — the loops also stop early
+        on stagnation (see _refined_solve / _refine)."""
+        import math
+
+        if self.refine_steps <= 0:
+            return 0
+        if not (rel0 > self.refine_target) or not math.isfinite(rel0):
+            return self.refine_steps
+        contraction = min(self.refine_solver_tol, 0.5)
+        need = math.ceil(math.log(self.refine_target / rel0)
+                         / math.log(contraction))
+        return max(self.refine_steps, min(need, 8))
 
     def resolved_solver_tol(self, dtype_name: Optional[str] = None) -> float:
         """Dtype-aware solver tolerance: float32 Krylov residuals stall near

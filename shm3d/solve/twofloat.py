@@ -29,8 +29,20 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-# Dekker split constant for binary32: 2^ceil(24/2) + 1
-_SPLIT = jnp.float32(4097.0)
+# Dekker split constants: 2^ceil(p/2) + 1 for a p-bit significand.  Chosen
+# per input dtype — the f32 constant silently loses the error-free property
+# on f64 inputs (x64 CPU path; advisor r4).
+_SPLIT_F32 = 4097.0        # binary32, p=24
+_SPLIT_F64 = 134217729.0   # binary64, p=53 -> 2^27 + 1
+
+
+def _split_const(a, b):
+    dt = jnp.result_type(a, b)
+    if dt == jnp.float64:
+        return jnp.float64(_SPLIT_F64)
+    if dt == jnp.float32:
+        return jnp.float32(_SPLIT_F32)
+    raise TypeError(f"two_prod: unsupported dtype {dt}")
 
 
 def two_sum(a, b):
@@ -49,11 +61,12 @@ def fast_two_sum(a, b):
 
 def two_prod(a, b):
     """Error-free a * b = p + e exactly (Dekker split; no FMA dependence)."""
+    split = _split_const(a, b)
     p = a * b
-    ca = _SPLIT * a
+    ca = split * a
     ah = ca - (ca - a)
     al = a - ah
-    cb = _SPLIT * b
+    cb = split * b
     bh = cb - (cb - b)
     bl = b - bh
     e = ((ah * bh - p) + ah * bl + al * bh) + al * bl

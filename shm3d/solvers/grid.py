@@ -702,6 +702,8 @@ class GridSolver:
         re-solves the scaled defect on device."""
         if options.refine_mode == "pair":
             return self._refine_pair(u, Y, cached, grid, is_mesh, options, tm)
+        if options.refine_mode != "host":  # config validates; belt-and-braces
+            raise ValueError(f"unknown refine_mode {options.refine_mode!r}")
         shape = grid.shape
         N = grid.total_nodes
         nodes8 = np.asarray(cached["nodes8"])
@@ -730,9 +732,13 @@ class GridSolver:
             r = projection.host_project(b64 - Hu, A, gram_lu)
             return r, np.linalg.norm(r) / max(bnorm, np.finfo(np.float64).tiny)
 
-        rel = None
-        for _ in range(options.refine_steps):
-            r, rel = _defect(u64)
+        r, rel = _defect(u64)
+        rels = self.last_stats.setdefault("refine_pass_rels", [])
+        rels.append(float(rel))
+        # pass budget derived from the measured start (advisor r4: a fixed
+        # refine_steps=1 pass could not reach refine_target); stagnation
+        # (< 2x contraction) means the correction floor is reached
+        for _ in range(options.refine_pass_budget(rel)):
             if not np.isfinite(rel) or rel <= options.refine_target:
                 if tm is not None:
                     tm.note(f"refine skipped/stopped at rel_res={rel:.2e}")
@@ -742,9 +748,12 @@ class GridSolver:
             dx = self._correction_solve(r / scale, cached, grid, options)
             u64 = u64 + scale * np.asarray(dx, dtype=np.float64)
             u64 = projection.host_project(u64, A, gram_lu)
-        else:
-            if rel is not None:  # steps exhausted: measure the achieved defect
-                _, rel = _defect(u64)
+            r, new_rel = _defect(u64)
+            rels.append(float(new_rel))
+            stalled = not np.isfinite(new_rel) or new_rel > 0.5 * rel
+            rel = new_rel if np.isfinite(new_rel) else rel
+            if stalled:
+                break
         if rel is not None:
             # exact f64 relative residual of the projected system after the
             # last correction — the accuracy certificate bench.py reports
@@ -816,11 +825,11 @@ class GridSolver:
             r_hi, r_lo, rn2, rmax = project(r_hi, r_lo, a_hi, a_lo)
             return r_hi, r_lo, float(np.sqrt(float(rn2))) / bnorm, float(rmax)
 
-        rel = None
         rels = self.last_stats.setdefault("refine_pass_rels", [])
-        for _ in range(options.refine_steps):
-            r_hi, _, rel, rmax = defect(u_hi, u_lo)
-            rels.append(float("%.3e" % rel))
+        r_hi, _, rel, rmax = defect(u_hi, u_lo)
+        rels.append(float("%.3e" % rel))
+        # derived pass budget + stagnation guard (see _refine)
+        for _ in range(options.refine_pass_budget(rel)):
             if not np.isfinite(rel) or rel <= options.refine_target:
                 if tm is not None:
                     tm.note(f"pair refine skipped/stopped at rel_res={rel:.2e}")
@@ -832,11 +841,13 @@ class GridSolver:
                 u_hi, u_lo, jnp.asarray(dx, dtype) * dtype.type(scale),
                 nodes8, c_hi, c_lo)
             u_hi, u_lo, _, _ = project(u_hi, u_lo, au_hi, au_lo)
-        else:
-            if rel is not None:  # steps exhausted: measure the achieved defect
-                _, _, rel, _ = defect(u_hi, u_lo)
-        if rel is not None:
-            self.last_stats["refine_rel_res"] = float(rel)
+            r_hi, _, new_rel, rmax = defect(u_hi, u_lo)
+            rels.append(float("%.3e" % new_rel))
+            stalled = not np.isfinite(new_rel) or new_rel > 0.5 * rel
+            rel = new_rel if np.isfinite(new_rel) else rel
+            if stalled:
+                break
+        self.last_stats["refine_rel_res"] = float(rel)
         if jax.config.jax_enable_x64:
             # CPU/x64: hand back the full pair precision (tests compare
             # against f64 oracles)

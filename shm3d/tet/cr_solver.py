@@ -542,6 +542,8 @@ class CRPath:
         cost = hierarchy_iter_seconds(h, l0=a["L"])
         solve_stats: dict = {}
         proj_stats: dict = {}
+        refine_stats: dict = {}
+        proj_refine_stats: dict = {}
         mg = (h.levels, h.coarse_inv)
         H64 = self._H
         zeros = ell.replicated(np.zeros(nf), self.dtype, self.device_mesh)
@@ -555,7 +557,8 @@ class CRPath:
                     tol=tol, chunk=c, mg_sizes=h.sizes),
                 zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
             phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options,
-                                              device_mesh=self.device_mesh)
+                                              device_mesh=self.device_mesh,
+                                              stats=refine_stats)
         elif mode == LevelSetConstraint.MULTIPLE:
             labels = np.asarray(src_face_components)
             _, gids = np.unique(labels, return_inverse=True)
@@ -582,7 +585,8 @@ class CRPath:
                     n_groups=n_groups, tol=tol, chunk=c, mg_sizes=h.sizes),
                 zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
             phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options,
-                                              device_mesh=self.device_mesh)
+                                              device_mesh=self.device_mesh,
+                                              stats=refine_stats)
             phi_f = phi_f - self._face_shift64(phi_f, src_face_areas)
         else:
             b64 = div64 - div64.mean()
@@ -593,7 +597,8 @@ class CRPath:
                     tol=tol, chunk=c, mg_sizes=h.sizes),
                 zeros, tol, maxiter, iter_seconds=cost, stats=solve_stats)
             phi_f, it1, r1 = _refined_solve(run, host_op, b64, self.dtype, options,
-                                              device_mesh=self.device_mesh)
+                                              device_mesh=self.device_mesh,
+                                              stats=refine_stats)
             phi_f = phi_f - self._face_shift64(phi_f, src_face_areas)
 
         # L2 projection to vertices: (A^T M A + shift I) w = A^T M phi_f
@@ -608,13 +613,16 @@ class CRPath:
             ell.replicated(np.zeros(nv), self.dtype, self.device_mesh), tol, maxiter,
             iter_seconds=2 * op_iter_seconds(a["P"]), stats=proj_stats)
         w, it2, r2 = _refined_solve(runp, host_opp, b64p, self.dtype, options,
-                                      device_mesh=self.device_mesh)
+                                      device_mesh=self.device_mesh,
+                                      stats=proj_refine_stats)
         self.last_stats = {"iters": int(it1), "residual": float(r1),
                            "proj_iters": int(it2), "proj_residual": float(r2),
                            "chunks": solve_stats.get("chunks", []),
                            "proj_chunks": proj_stats.get("chunks", []),
                            "amg_sizes": list(h.sizes),
-                           "iter_seconds_est": round(cost, 4)}
+                           "iter_seconds_est": round(cost, 4),
+                           "refine_pass_rels": refine_stats.get("refine_pass_rels", []),
+                           "proj_refine_pass_rels": proj_refine_stats.get("refine_pass_rels", [])}
         if self._proj_weak.size:
             w = repair_mass_starved(w, self._proj_weak, np.asarray(self.mesh.tets))
         # The reference returns -phi here (:316) to compensate its internal

@@ -98,6 +98,37 @@ def test_cr_zero_on_surface(conforming):
     assert np.abs(vals).max() < 0.05 * np.abs(phi_v).max()
 
 
+def test_cr_invariant_to_source_face_winding(conforming):
+    """find_surface_faces drops the source-face orientation where the
+    reference matches it (signed_heat_tet_solver.cpp:983-1011); this pins
+    the claim that the drop is harmless.  Re-wind a random subset of the
+    source triangles (reversed and rotated windings) with the geometry
+    unchanged: the matched tet-face ids and the resulting phi must be
+    bit-identical — a silent global/local sign flip would show here."""
+    tm, src_mesh, surf_ids, src_faces = conforming
+    rng = np.random.default_rng(11)
+    scrambled = src_faces.copy()
+    flip = rng.random(len(scrambled)) < 0.5
+    scrambled[flip] = scrambled[flip][:, [0, 2, 1]]  # reversed orientation
+    rot = rng.random(len(scrambled)) < 0.5
+    scrambled[rot] = scrambled[rot][:, [1, 2, 0]]    # same orientation, rotated
+    found = find_surface_faces(tm, scrambled)
+    assert found is not None
+    np.testing.assert_array_equal(np.sort(found), np.sort(surf_ids))
+
+    src = src_mod.from_mesh(src_mesh)
+    Y = grid_oracle.diffuse_vector_field(tm.barycenters(), src, 4.0)
+    opts = SignedHeatOptions(dtype="float64", solver_tol=1e-12,
+                             solver_maxiter=30000)
+    phi_ref = np.asarray(
+        CRPath(tm, np.sort(surf_ids), dtype=jnp.float64).integrate(
+            jnp.asarray(Y), opts))
+    phi_scr = np.asarray(
+        CRPath(tm, np.sort(found), dtype=jnp.float64).integrate(
+            jnp.asarray(Y), opts))
+    np.testing.assert_array_equal(phi_scr, phi_ref)
+
+
 def test_solver_autodetects_conforming_mesh(conforming):
     """End-to-end: feeding the lattice-aligned surface through the normal
     solver API takes the CR path automatically (reference default)."""

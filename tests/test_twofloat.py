@@ -36,6 +36,29 @@ def test_error_free_transforms():
     np.testing.assert_array_equal(_pair64((p, pe)), exact)
 
 
+def test_error_free_transforms_f64():
+    """The Dekker split constant must follow the input dtype: with the f32
+    constant (4097) the f64 two_prod silently loses the error-free property
+    (advisor r4).  Verified via exact Fraction arithmetic."""
+    from fractions import Fraction
+
+    rng = np.random.default_rng(7)
+    a64 = rng.standard_normal(512) * 10.0 ** rng.integers(-8, 8, 512)
+    b64 = rng.standard_normal(512) * 10.0 ** rng.integers(-8, 8, 512)
+    p, pe = tf.two_prod(jnp.asarray(a64, jnp.float64),
+                        jnp.asarray(b64, jnp.float64))
+    p, pe = np.asarray(p), np.asarray(pe)
+    for i in range(0, 512, 37):
+        exact = Fraction(a64[i]) * Fraction(b64[i])
+        assert Fraction(p[i]) + Fraction(pe[i]) == exact
+    s, e = tf.two_sum(jnp.asarray(a64, jnp.float64),
+                      jnp.asarray(b64, jnp.float64))
+    s, e = np.asarray(s), np.asarray(e)
+    for i in range(0, 512, 37):
+        assert Fraction(s[i]) + Fraction(e[i]) == (Fraction(a64[i])
+                                                   + Fraction(b64[i]))
+
+
 def test_pair_stencils_match_f64():
     rng = np.random.default_rng(5)
     n, h = 19, 0.0371
