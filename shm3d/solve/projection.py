@@ -33,6 +33,7 @@ matching signed_heat_grid_solver.cpp:84-100,433-464).
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -192,6 +193,28 @@ class GramTable(NamedTuple):
 # switches to per-iteration exact host projection (see GramTable).
 ORTHO_GRAM_CAP = 8192
 
+# Largest m for the FULL-row shifted-Cholesky whitening tier (r5): the
+# (m, m) f32 factor is built ON DEVICE (XLA blocked Cholesky + triangular
+# solve ride the MXU: sub-second at m=12.6k, where this single-core host
+# needs ~200 s of LAPACK) and costs m^2 * 4 B of HBM — 2.4 GB at the cap.
+# Past it the subsampled-pin tier (+ host-projected refinement) takes over.
+TFORM_FULL_CAP = 24576
+
+# Tikhonov shift of the scaled Gram for the full-row factor.  The full row
+# set's spectrum has a near-null continuum (measured 256^3/SprayBottle:
+# lam in [3.2e-6, 6.0], cond 1.9e6 — nearly-coincident source points give
+# nearly-parallel rows).  The shift keeps the f32 Cholesky away from
+# breakdown and caps ||T|| at eps^-1/2, at the price of DAMPING constraint
+# modes with lam < eps instead of enforcing them.  Larger shifts are NOT
+# safer: phi accuracy tracks the damped-mode mass (measured on the real
+# 256^3 Gram, random-vector violation after the projector's one
+# Gram-refinement step: eps=1e-4 -> 1.8e-4, 1e-5 -> 1.8e-5, 3e-6 ->
+# 4.3e-6; f32 spotrf succeeded with identical quality to the f64 build at
+# every one of these).  3e-6 sits at the measured lam_min, so effectively
+# nothing physical is damped; gram_from_arrays escalates eps x10 (up to
+# 4 times) if a smaller spectrum ever breaks the f32 factorization (NaNs).
+TFORM_FULL_EPS = 3e-6
+
 
 def gram_apply(y: jnp.ndarray, gram: GramTable) -> jnp.ndarray:
     """(A A^T) y as an O(m K) gather — never touches the (N,) node space."""
@@ -301,11 +324,72 @@ def build_tform_arrays(nodes8: np.ndarray, coeffs8: np.ndarray, n: int) -> dict:
     return {"idx": idx, "val": val, "diag": d, "tmat": T}
 
 
+def build_tform_full_arrays(nodes8: np.ndarray, coeffs8: np.ndarray,
+                            n: int) -> dict:
+    """FULL-row whitening tier (ORTHO_GRAM_CAP < m <= TFORM_FULL_CAP):
+    host side only extracts the sparse Gram table; the dense factor is
+    built on device at load time (``gram_from_arrays`` -> ``_device_tform``)
+    so the persisted artifact stays a few MB instead of m^2 * 4 B."""
+    arr = build_gram_arrays(nodes8, coeffs8, n, np.float32,
+                            ortho_cap=0)  # sparse table only, no bmat
+    arr["tform_eps"] = np.float64(TFORM_FULL_EPS)
+    return arr
+
+
+def _device_tform(idx: np.ndarray, val: np.ndarray, diag: np.ndarray,
+                  eps: float, dtype):
+    """T = chol(D^{-1/2} G D^{-1/2} + eps I)^{-1} D^{-1/2}, built on device.
+
+    XLA's blocked Cholesky + triangular solve run on the MXU: ~1 s at
+    m = 12.6k vs ~200 s of single-core host LAPACK (measured).  The scaled
+    Gram is densified from the padded neighbor table with one scatter-add
+    (padded slots carry exact zeros)."""
+    import jax
+
+    @functools.partial(jax.jit, static_argnames=())
+    def build(idx, val, diag):
+        m = idx.shape[0]
+        dscale = jax.lax.rsqrt(jnp.maximum(diag, jnp.finfo(dtype).tiny))
+        rows = jnp.arange(m, dtype=jnp.int32)[:, None]
+        v = val * dscale[:, None] * dscale[idx]
+        Gs = jnp.zeros((m, m), dtype).at[rows, idx].add(v)
+        Gs = Gs + jnp.asarray(eps, dtype) * jnp.eye(m, dtype=dtype)
+        L = jnp.linalg.cholesky(Gs)
+        # T = L^-1 D^{-1/2}, solved in COLUMN BLOCKS: one triangular_solve
+        # against the full (m, m) RHS makes XLA keep O(m/blk) half-GB
+        # dynamic-update-slice temps live simultaneously (measured
+        # RESOURCE_EXHAUSTED at m = 12.6k on the 16 GB chip); 2048-column
+        # blocks bound the transient set while the MXU stays busy.
+        CH = 2048
+        nb = -(-m // CH)
+        ar = jnp.arange(m, dtype=jnp.int32)
+
+        def solve_block(j0):
+            rhs = jnp.where(ar[:, None] == (j0 + jnp.arange(CH))[None, :],
+                            dscale[:, None], jnp.zeros((), dtype))
+            return jax.scipy.linalg.solve_triangular(L, rhs, lower=True)
+
+        blocks = jax.lax.map(solve_block,
+                             jnp.arange(nb, dtype=jnp.int32) * CH)
+        return jnp.moveaxis(blocks, 0, 1).reshape(m, nb * CH)[:, :m]
+
+    return build(jnp.asarray(idx), jnp.asarray(val, dtype),
+                 jnp.asarray(diag, dtype))
+
+
 def gram_from_arrays(arr: dict, dtype) -> GramTable:
     """Device GramTable from (possibly disk-loaded) host arrays."""
     bmat = arr.get("bmat")
     touched = arr.get("touched")
     tmat = arr.get("tmat")
+    if tmat is None and arr.get("tform_eps") is not None:
+        eps = float(arr["tform_eps"])
+        for _ in range(4):
+            tmat = _device_tform(arr["idx"], arr["val"], arr["diag"],
+                                 eps, dtype)
+            if bool(jnp.isfinite(tmat).all()):
+                break
+            eps *= 10.0  # f32 Cholesky breakdown -> NaN factor: re-shift
     return GramTable(
         jnp.asarray(arr["idx"]),
         jnp.asarray(arr["val"], dtype),
@@ -342,8 +426,15 @@ def make_projector(nodes8, coeffs8, gram: GramTable, n: int):
 
         def project_t(v):
             a = a_apply(v, nodes8, coeffs8)
-            w = gram.tmat @ a
-            return v - at_apply(gram.tmat.T @ w, nodes8, coeffs8, n)
+            z = gram.tmat.T @ (gram.tmat @ a)
+            # one Gram-refinement step: with the shifted full-row factor
+            # (tform_eps) this squares the eps-tail damping error and mops
+            # up f32 factor rounding; with the exact subsampled factor it
+            # is a cheap near-no-op.  Costs one sparse gram_apply + two
+            # extra MXU matvecs per projection.
+            r = a - gram_apply(z, gram)
+            z = z + gram.tmat.T @ (gram.tmat @ r)
+            return v - at_apply(z, nodes8, coeffs8, n)
 
         return project_t
 

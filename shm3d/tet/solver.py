@@ -550,6 +550,8 @@ class SignedHeatTetSolver:
         checks.check_finite("tet phi", phi_host)
         # per-phase wall clock (Step 1 vs Step 3 split at scale; SURVEY §5.1)
         self.last_stats["phases"] = tm.as_dict()
+        if tm.mem:  # device-memory high-water per phase (MB)
+            self.last_stats["mem_peak_mb"] = dict(tm.mem)
         return TetResult(phi_host, mesh, np.asarray(Y, np.float64))
 
     # -- internals

@@ -334,6 +334,10 @@ def test_subsampled_pin_tier_matches_oracle(icosphere, monkeypatch):
     from shm3d.solve import projection
 
     monkeypatch.setattr(projection, "ORTHO_GRAM_CAP", 0)
+    # r5: the full-row tform tier now owns ORTHO_GRAM_CAP < m <=
+    # TFORM_FULL_CAP — shrink that cap too so this test still exercises
+    # the SUBSAMPLED tier (which remains the path past the full-tier cap)
+    monkeypatch.setattr(projection, "TFORM_FULL_CAP", 0)
     opts = SignedHeatOptions(dtype="float32", refine_steps=0,
                              max_device_pins=24)
     solver = GridSolver()
@@ -365,6 +369,43 @@ def test_subsampled_pin_tier_matches_oracle(icosphere, monkeypatch):
     expected = oracle.solve_grid(icosphere, opts32.with_(dtype="float64"))
     rel = np.linalg.norm(got32.phi - expected.phi) / np.linalg.norm(expected.phi)
     assert rel < 1e-5, f"rel L2 {rel}"
+
+
+def test_tform_full_tier_matches_oracle(icosphere, monkeypatch):
+    """The r5 full-row whitening tier (ORTHO_GRAM_CAP < m <= TFORM_FULL_CAP):
+    ALL constraint rows are enforced on device through the shifted-Cholesky
+    factor built by XLA (projection._device_tform) — no subsampling, no
+    host-projected loop, no defect correction needed to hold the full row
+    set.  Pins the accuracy that closed the 256^3 fast-tier gap (9.5e-4
+    with 4096/12620 rows pinned -> full-row parity)."""
+    from shm3d.solve import projection
+
+    monkeypatch.setattr(projection, "ORTHO_GRAM_CAP", 0)
+    # disk_cache off: the cache key does not see the patched cap, so an
+    # artifact another test built (bmat tier) would shadow this tier
+    opts = SignedHeatOptions(dtype="float32", refine_steps=0,
+                             solver_tol=1e-6, solver_maxiter=20000,
+                             disk_cache=False)
+    solver = GridSolver()
+    got = solver.compute_distance(icosphere, opts)
+    cached = next(iter(solver._cache.values()))
+    assert cached["pin_keep"] is None          # full rows pinned on device
+    assert cached["gram"].tmat is not None
+    m_full = cached["nodes8"].shape[0]
+    assert cached["pin_nodes8"].shape[0] == m_full
+    # the FULL row set is satisfied by the pure-device solve (constraint
+    # slack ~ the shifted factor's damping + f32 floor, NOT the subsample
+    # tier's O(1e-1) unpinned slack)
+    u = np.asarray(got.u_device, np.float64)
+    full_res = np.abs(
+        (u[np.asarray(cached["nodes8"])] * cached["coeffs8_f64"]).sum(axis=1)
+    ).max()
+    assert full_res < 1e-4 * np.abs(u).max(), full_res
+    # phi accuracy vs the exact f64 KKT oracle, with NO refinement passes
+    expected = oracle.solve_grid(
+        icosphere, opts.with_(dtype="float64", solver_tol=1e-12))
+    rel = np.linalg.norm(got.phi - expected.phi) / np.linalg.norm(expected.phi)
+    assert rel < 1e-4, f"rel L2 {rel}"
 
 
 def test_chebyshev_solves_spd_window():
