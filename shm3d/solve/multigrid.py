@@ -58,6 +58,13 @@ def _H_apply(u, cell):
     return -stencil.laplacian_apply(u, cell)
 
 
+def _Hp_apply(u, cell, w):
+    """H + diag(w): the PENALIZED operator the pin-aware V-cycle targets.
+    ``w`` is a per-node penalty field (None -> plain H)."""
+    r = -stencil.laplacian_apply(u, cell)
+    return r if w is None else r + w * u
+
+
 def _H_diag(shape, cell, dtype):
     """Constant interior diagonal 6/cell^2.  Using the exact (boundary-
     corrected) diagonal would make the weighted-Jacobi smoother slightly
@@ -67,9 +74,10 @@ def _H_diag(shape, cell, dtype):
     return jnp.asarray(6.0 / (cell * cell), dtype)
 
 
-def _jacobi(u, b, cell, diag, sweeps: int):
+def _jacobi(u, b, cell, diag, sweeps: int, w=None):
+    d = diag if w is None else diag + w
     for _ in range(sweeps):
-        u = u + _OMEGA * (b - _H_apply(u, cell)) / diag
+        u = u + _OMEGA * (b - _Hp_apply(u, cell, w)) / d
     return u
 
 
@@ -117,39 +125,73 @@ def prolong(e):
     return e
 
 
-def v_cycle(b, cell, nu: int = 1, coarsest: int = 8):
+def v_cycle(b, cell, nu: int = 1, coarsest: int = 8, pins=None):
     """One symmetric V-cycle approximating H^{-1} b, H = -L at spacing
     ``cell``.  ``b`` is (n, n, n); returns (n, n, n).  The coarsest level is
     solved exactly with the cached dense pseudo-inverse (one matvec; the
-    1/cell^2 operator scaling becomes a cell^2 factor on the result)."""
+    1/cell^2 operator scaling becomes a cell^2 factor on the result).
+
+    ``pins``: optional tuple of per-level penalty MASKS in [0, 1] (level 0
+    first; built by build_pin_masks).  When set, every level smooths and
+    forms residuals on H + diag(mask * 6/cell^2) instead of H — a Dirichlet
+    penalty at the constraint surface, which makes the V-cycle spectrally
+    close to the PROJECTED operator the outer CG actually solves (plain MG
+    cannot see the pinned surface, and its near-surface modes dominate the
+    iteration count of the constrained solve)."""
     n = b.shape[0]
     dtype = b.dtype
+    w = None
+    if pins is not None and len(pins) > 0:
+        w = pins[0] * jnp.asarray(6.0 / (cell * cell), dtype)
+        pins_c = pins[1:]
+    else:
+        pins_c = None if pins is None else ()
     if n <= coarsest:
-        if n <= 16:  # dense pinv: 16^3 -> a 4096^2 matvec; beyond that, smooth
+        if n <= 16 and w is None:  # dense pinv: 16^3 -> a 4096^2 matvec
             pinv = jnp.asarray(_coarse_pinv_unit(n), dtype)
             return (cell * cell) * (pinv @ b.reshape(-1)).reshape(b.shape)
         diag_c = _H_diag(b.shape, cell, dtype)
-        return _jacobi(jnp.zeros_like(b), b, cell, diag_c, 40)
+        return _jacobi(jnp.zeros_like(b), b, cell, diag_c, 40, w)
     if n % 2:
         # odd resolution (fractional hCoef): cannot 2x-coarsen; smooth only
         diag_o = _H_diag(b.shape, cell, dtype)
-        return _jacobi(jnp.zeros_like(b), b, cell, diag_o, 20)
+        return _jacobi(jnp.zeros_like(b), b, cell, diag_o, 20, w)
     diag = _H_diag(b.shape, cell, dtype)
-    u = _jacobi(jnp.zeros_like(b), b, cell, diag, nu)
-    r = b - _H_apply(u, cell)
-    e = v_cycle(restrict(r), 2.0 * cell, nu, coarsest)
+    u = _jacobi(jnp.zeros_like(b), b, cell, diag, nu, w)
+    r = b - _Hp_apply(u, cell, w)
+    e = v_cycle(restrict(r), 2.0 * cell, nu, coarsest, pins_c)
     u = u + prolong(e)
-    return _jacobi(u, b, cell, diag, nu)
+    return _jacobi(u, b, cell, diag, nu, w)
 
 
-def make_node_preconditioner(shape, cell, dtype=jnp.float32, cycles: int = 1):
+def build_pin_masks(nodes8, shape, coarsest: int = 8):
+    """Per-level pin masks for the penalized V-cycle: 1.0 at every node a
+    constraint row touches on the fine grid, full-weighting restricted down
+    the hierarchy (values in [0, 1] — a soft indicator of constraint
+    density).  Tuple of (n_l, n_l, n_l) device arrays, level 0 first."""
+    N = int(np.prod(shape))
+    m0 = jnp.zeros(N, jnp.float32).at[
+        jnp.asarray(nodes8).reshape(-1)].set(1.0).reshape(shape)
+    masks = [m0]
+    n = shape[0]
+    while n > coarsest and n % 2 == 0:
+        masks.append(jnp.clip(restrict(masks[-1]) * 8.0, 0.0, 1.0))
+        n //= 2
+    return tuple(masks)
+
+
+def make_node_preconditioner(shape, cell, dtype=jnp.float32, cycles: int = 1,
+                             pins=None):
     """Preconditioner closure for flat (N,) node vectors."""
 
     def precond(r_flat):
         b = r_flat.reshape(shape)
-        u = v_cycle(b, jnp.asarray(cell, dtype))
+        u = v_cycle(b, jnp.asarray(cell, dtype), pins=pins)
         for _ in range(cycles - 1):
-            u = u + v_cycle(b - _H_apply(u, jnp.asarray(cell, dtype)), jnp.asarray(cell, dtype))
+            u = u + v_cycle(b - _Hp_apply(u, jnp.asarray(cell, dtype),
+                                          None if pins is None else
+                                          pins[0] * jnp.asarray(6.0 / (cell * cell), dtype)),
+                            jnp.asarray(cell, dtype), pins=pins)
         return u.reshape(-1)
 
     return precond

@@ -371,8 +371,23 @@ def _device_tform(idx: np.ndarray, val: np.ndarray, diag: np.ndarray,
 
         blocks = jax.lax.map(solve_block,
                              jnp.arange(nb, dtype=jnp.int32) * CH)
-        return jnp.moveaxis(blocks, 0, 1).reshape(m, nb * CH)[:, :m]
+        T = jnp.moveaxis(blocks, 0, 1).reshape(m, nb * CH)[:, :m]
+        if polish:
+            # one Newton step on the factor: T <- T - L^-1 (L T - D^-1/2)
+            # with L^-1 = T D^1/2.  Two MXU GEMMs (~0.1 s at m=12.6k)
+            # knock the f32 chol/trsm rounding out of the whitening, so the
+            # CG projector noise floor is set by the GEMV rounding alone.
+            R = L @ T - dscale[None, :] * jnp.eye(m, dtype=dtype)
+            T = T - T @ ((1.0 / dscale)[:, None] * R)
+        return T
 
+    import os
+
+    # Newton polish measured HARMFUL at m=12.6k/256^3: the f32 GEMM pair
+    # injects ~eps*sqrt(m)*||T|| noise exceeding the trsm error it removes
+    # (CG: 108 -> 267 iters, rel_res stall 1e-4).  Kept behind an env flag
+    # for future spectra where the tradeoff might flip.
+    polish = os.environ.get("SHM3D_TFORM_POLISH", "0") == "1"
     return build(jnp.asarray(idx), jnp.asarray(val, dtype),
                  jnp.asarray(diag, dtype))
 

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 import time
 from typing import Optional
 
@@ -104,7 +105,8 @@ def _rhs_div(Y, cell_size, shape, guard_nans: bool):
 
 
 @functools.partial(jax.jit, static_argnames=("shape", "tol", "chunk"))
-def _pinned_pcg_chunk(b, x0, nodes8, coeffs8, gram, cell_size, shape, tol: float, chunk: int):
+def _pinned_pcg_chunk(b, x0, nodes8, coeffs8, gram, cell_size, shape, tol: float, chunk: int,
+                      pins=None):
     """One bounded chunk of projected MG-PCG on P H P u = P b, warm-started
     from x0.  (Chunked because the TPU runtime kills minutes-long single
     programs; see shm3d.tet.solver CHUNK_ITERS.)  ``b`` is the (N,) primal
@@ -116,7 +118,8 @@ def _pinned_pcg_chunk(b, x0, nodes8, coeffs8, gram, cell_size, shape, tol: float
     dtype = b.dtype
     N = b.shape[0]
     proj = projection.make_projector(nodes8, coeffs8, gram, N)
-    mg = multigrid.make_node_preconditioner(shape, cell_size, dtype=dtype)
+    mg = multigrid.make_node_preconditioner(shape, cell_size, dtype=dtype,
+                                            pins=pins)
 
     def matvec(u):
         # u stays in ker(A) along the Krylov recurrence, so P H P u = P (H u).
@@ -135,7 +138,7 @@ def _pinned_pcg_chunk(b, x0, nodes8, coeffs8, gram, cell_size, shape, tol: float
 
 def _solve_pinned(
     b, nodes8, coeffs8, gram, cell_size, shape, tol: float, maxiter: int,
-    x0=None, chunk: Optional[int] = None, host_gram=None,
+    x0=None, chunk: Optional[int] = None, host_gram=None, pins=None,
 ):
     """Chunked projected MG-PCG.  Returns (u, iters, resid) with u in ker(A);
     phi = -u (signed_heat_grid_solver.cpp:108).
@@ -167,7 +170,7 @@ def _solve_pinned(
             break
         prev = float(resid)
         u, iters, resid = _pinned_pcg_chunk(
-            b, u, nodes8, coeffs8, gram, cell_size, shape, tol, this
+            b, u, nodes8, coeffs8, gram, cell_size, shape, tol, this, pins
         )
         total += int(iters)
         if int(iters) < this:
@@ -445,7 +448,7 @@ def _solve_kkt_minres(b, nodes8, coeffs8, cell_size, shape, tol, maxiter, chunk=
 def _integrate_exact(
     Y, nodes8, coeffs8, cell_size, shape, guard_nans: bool, tol: float, maxiter: int,
     method: str = "projected_cg", gram=None, x0=None, chunk: Optional[int] = None,
-    host_gram=None,
+    host_gram=None, pins=None,
 ):
     """divergence + NaN guard + constrained Poisson solve.  Returns
     (u, iters, resid) with u the (N,) primal solution; phi = -u."""
@@ -459,7 +462,7 @@ def _integrate_exact(
             np.asarray(nodes8), np.asarray(coeffs8, np.float64), b.shape[0], b.dtype
         )
     return _solve_pinned(b, nodes8, coeffs8, gram, cell_size, shape, tol, maxiter,
-                         x0=x0, chunk=chunk, host_gram=host_gram)
+                         x0=x0, chunk=chunk, host_gram=host_gram, pins=pins)
 
 
 @functools.partial(jax.jit, static_argnames=())
@@ -663,6 +666,7 @@ class GridSolver:
                     method=options.solver_method,
                     gram=cached["gram"],
                     host_gram=cached.get("host_gram"),
+                    pins=self._pin_masks(cached, grid),
                 )
                 u.block_until_ready()
                 tm.note(f"{options.solver_method} iters={int(iters)} rel_res={float(resid):.2e}")
@@ -695,6 +699,10 @@ class GridSolver:
         self.last_stats["phases"] = tm.as_dict()
         if tm.mem:  # device-memory high-water per phase (MB)
             self.last_stats["mem_peak_mb"] = dict(tm.mem)
+        else:  # one end-of-solve high-water query (single device RTT)
+            peak = timing.device_memory_peak_mb()
+            if peak is not None:
+                self.last_stats["mem_peak_mb"] = peak
         return GridResult(phi, grid, Y, u_dev=u_dev)
 
     def _refine(self, u, Y, cached, grid, is_mesh, options, tm=None):
@@ -873,6 +881,19 @@ class GridSolver:
             return u_hi.astype(jnp.float64) + u_lo.astype(jnp.float64)
         return u_hi + u_lo  # f32 output: the pair collapses to hi
 
+    def _pin_masks(self, cached, grid):
+        """Per-level Dirichlet-penalty masks for the pin-aware V-cycle
+        (multigrid.build_pin_masks), cached per discretization.  Gated by
+        SHM3D_PIN_MG (default on; set 0 to fall back to the plain MG)."""
+        if os.environ.get("SHM3D_PIN_MG", "1") == "0":
+            return None
+        pins = cached.get("pin_masks")
+        if pins is None:
+            pins = multigrid.build_pin_masks(
+                np.asarray(cached["pin_nodes8"]), grid.shape)
+            cached["pin_masks"] = pins
+        return pins
+
     def _correction_solve(self, rhs_np, cached, grid, options):
         """Projected MG-PCG on the defect (same operator, arbitrary RHS).
 
@@ -948,6 +969,7 @@ class GridSolver:
             options.resolved_solver_tol("float32"),
             options.solver_maxiter,
             host_gram=cached.get("host_gram"),
+            pins=self._pin_masks(cached, grid),
         )
         self.last_stats.setdefault("correction_iters", []).append(int(_it))
         return u

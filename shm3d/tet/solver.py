@@ -552,6 +552,10 @@ class SignedHeatTetSolver:
         self.last_stats["phases"] = tm.as_dict()
         if tm.mem:  # device-memory high-water per phase (MB)
             self.last_stats["mem_peak_mb"] = dict(tm.mem)
+        else:  # one end-of-solve high-water query (single device RTT)
+            peak = timing.device_memory_peak_mb()
+            if peak is not None:
+                self.last_stats["mem_peak_mb"] = peak
         return TetResult(phi_host, mesh, np.asarray(Y, np.float64))
 
     # -- internals

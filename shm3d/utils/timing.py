@@ -34,12 +34,21 @@ def device_memory_peak_mb() -> Optional[float]:
 
 
 class PhaseTimer:
-    def __init__(self, verbose: bool = False, stream=None):
+    def __init__(self, verbose: bool = False, stream=None,
+                 track_mem: Optional[bool] = None):
         self.verbose = verbose
         self.stream = stream or sys.stderr
         self.spans: List[Tuple[str, float]] = []
         self.notes: List[str] = []
-        # per-phase device-memory high-water (MB), monotone within a process
+        # per-phase device-memory high-water (MB), monotone within a process.
+        # Collected only when requested: each memory_stats() query is a
+        # device RTT (~10 ms over the remote tunnel — measured +10% on the
+        # 128^3 warm headline when it ran unconditionally per phase).
+        import os
+
+        if track_mem is None:
+            track_mem = verbose or bool(os.environ.get("SHM3D_MEM_PHASES"))
+        self.track_mem = track_mem
         self.mem: Dict[str, float] = {}
 
     @contextlib.contextmanager
@@ -50,9 +59,10 @@ class PhaseTimer:
         finally:
             dt = time.perf_counter() - t0
             self.spans.append((name, dt))
-            peak = device_memory_peak_mb()
-            if peak is not None:
-                self.mem[name] = max(peak, self.mem.get(name, 0.0))
+            if self.track_mem:
+                peak = device_memory_peak_mb()
+                if peak is not None:
+                    self.mem[name] = max(peak, self.mem.get(name, 0.0))
             if self.verbose:
                 print(f"[shm3d] {name}: {dt:.4f} s", file=self.stream)
 
