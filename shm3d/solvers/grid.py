@@ -925,9 +925,10 @@ class GridSolver:
                 neutered,
                 dtype(grid.cell_size),
                 grid.shape,
-                options.resolved_solver_tol(
-                    "float64" if jax.config.jax_enable_x64 else "float32"
-                ),
+                (options.resolved_solver_tol("float64")
+                 if jax.config.jax_enable_x64
+                 else max(options.refine_solver_tol,
+                          options.resolved_solver_tol("float32"))),
                 options.solver_maxiter,
                 host_gram=host,
             )
@@ -959,6 +960,13 @@ class GridSolver:
             )
             self.last_stats.setdefault("correction_iters", []).append(int(_it))
             return u
+        # f32 corrections: the LOOSE per-pass tolerance (config
+        # refine_solver_tol).  Chasing the primary tolerance on a defect
+        # RHS is pure stall-grinding — the f64 contraction per pass is
+        # bounded by the f32 representability of the correction, NOT by
+        # CG's own residual (measured at 256^3: tol 1e-5 burned 169/180/146
+        # iterations for 20x/6.4x/6.3x actual contraction; the derived pass
+        # budget makes many cheap passes strictly better)
         u, _it, _ = _solve_pinned(
             jnp.asarray(rhs_np, jnp.float32),
             cached["pin_nodes8"],
@@ -966,7 +974,8 @@ class GridSolver:
             cached["gram"],
             jnp.float32(grid.cell_size),
             grid.shape,
-            options.resolved_solver_tol("float32"),
+            max(options.refine_solver_tol,
+                options.resolved_solver_tol("float32")),
             options.solver_maxiter,
             host_gram=cached.get("host_gram"),
             pins=self._pin_masks(cached, grid),
