@@ -670,6 +670,10 @@ class GridSolver:
                 )
                 u.block_until_ready()
                 tm.note(f"{options.solver_method} iters={int(iters)} rel_res={float(resid):.2e}")
+                # primary-solve observables (bench_all "solve" detail; the
+                # grid path used to record these only as a verbose note)
+                self.last_stats["iters"] = int(iters)
+                self.last_stats["rel_res"] = float(resid)
                 checks.check_finite("grid Step 3 solution", u)
                 if checks.enabled() and options.solver_method == "projected_cg":
                     # null-space invariant: the pinned rows hold on the iterate

@@ -81,7 +81,14 @@ def find_surface_faces(mesh: TetMesh, src_faces: np.ndarray) -> Optional[np.ndar
 #: the same op fine in isolation — some transient per-program worker
 #: resource, not array capacity); 512k-row lax.map slices run reliably and
 #: cost the same wall clock once compiled (measured r4: 12 s compile,
-#: then instant).
+#: then instant).  VALIDATED r5: with this chunking the FULL knot pipeline
+#: (treestore load -> Step 1 -> chunked CR solve -> projection) completed
+#: twice in one TPU process (171.4 s then 59.5 s warm, bitwise-close phi,
+#: no RESOURCE_EXHAUSTED), and the r5 bench sweep ran it to completion in
+#: a fresh process (BENCH_TABLE.md).  Per-phase HBM high-water would
+#: upgrade this from behavioral to quantitative, but the axon PJRT plugin
+#: reports an EMPTY memory_stats() dict over the tunnel (checked r5) —
+#: utils/timing.device_memory_peak_mb degrades to None there.
 _DIV_CHUNK = 1 << 19
 
 

@@ -17,7 +17,9 @@ from typing import Dict, List, Optional, Tuple
 
 def device_memory_peak_mb() -> Optional[float]:
     """Device-memory high-water in MB (best-effort; None when the backend
-    does not report memory_stats — CPU, some plugin versions).
+    does not report memory_stats — CPU, and the axon TPU tunnel, whose
+    plugin returns an empty dict (checked r5); on directly-attached TPU
+    runtimes peak_bytes_in_use is populated).
 
     Recorded at phase boundaries so an OOM postmortem reads which phase
     drove the peak from ``last_stats`` instead of re-running under

@@ -408,6 +408,34 @@ def test_tform_full_tier_matches_oracle(icosphere, monkeypatch):
     assert rel < 1e-4, f"rel L2 {rel}"
 
 
+def test_pin_aware_mg_cuts_iterations(icosphere):
+    """The pin-aware V-cycle (multigrid.build_pin_masks; r5) preconditions
+    the PROJECTED operator: constraint-surface modes that plain MG cannot
+    see dominated the constrained solve's iteration count (measured 256^3:
+    108 -> 17 CG iterations).  Guard both the mechanism (pins reduce
+    iterations on a CI-sized problem) and correctness (same phi)."""
+    from shm3d.solvers.grid import GridSolver
+
+    opts = SignedHeatOptions(dtype="float64", h_coef=1.0, solver_tol=1e-8,
+                             solver_maxiter=20000, refine_steps=0,
+                             disk_cache=False)
+    import os
+
+    s1 = GridSolver()
+    r1 = s1.compute_distance(icosphere, opts)
+    it_pinned = s1.last_stats["iters"]
+    os.environ["SHM3D_PIN_MG"] = "0"
+    try:
+        s2 = GridSolver()
+        r2 = s2.compute_distance(icosphere, opts)
+        it_plain = s2.last_stats["iters"]
+    finally:
+        del os.environ["SHM3D_PIN_MG"]
+    rel = np.linalg.norm(r1.phi - r2.phi) / np.linalg.norm(r2.phi)
+    assert rel < 1e-6, rel                      # preconditioner-only change
+    assert it_pinned < it_plain, (it_pinned, it_plain)
+
+
 def test_chebyshev_solves_spd_window():
     """krylov.chebyshev: fixed-degree inverse on a known spectral window."""
     from shm3d.solve import krylov
