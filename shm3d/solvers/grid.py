@@ -763,7 +763,8 @@ class GridSolver:
                 break
             scale = np.abs(r).max()
             # correction solve on device on the scaled residual
-            dx = self._correction_solve(r / scale, cached, grid, options)
+            dx = self._correction_solve(r / scale, cached, grid, options,
+                                        rel=rel)
             u64 = u64 + scale * np.asarray(dx, dtype=np.float64)
             u64 = projection.host_project(u64, A, gram_lu)
             r, new_rel = _defect(u64)
@@ -865,7 +866,7 @@ class GridSolver:
             scale = rmax if rmax > 0 else 1.0
             t0 = time.perf_counter()
             dx = self._correction_solve(r_hi / dtype.type(scale), cached,
-                                        grid, options)
+                                        grid, options, rel=rel)
             jax.block_until_ready(dx)
             detail["correction_s"] += time.perf_counter() - t0
             u_hi, u_lo, au_hi, au_lo = _pair_axpy(
@@ -898,7 +899,39 @@ class GridSolver:
             cached["pin_masks"] = pins
         return pins
 
-    def _correction_solve(self, rhs_np, cached, grid, options):
+    @staticmethod
+    def _correction_tol(options, rel=None, exact_projector=True) -> float:
+        """Per-pass tolerance for an f32 correction solve.
+
+        Aim the pass at the REMAINING contraction (refine_target / rel)
+        instead of a fixed value — each pass pays ~2 host Gram projections
+        of fixed overhead, so fewer deeper passes win WHEN the solve can
+        deliver them.  That depends on the projector tier (measured,
+        SprayBottle):
+
+        - bmat (exact orthonormalized rows, 128^3): per-pass contraction
+          tracks tol — one 12-iteration pass at 1e-5 contracted 1.8e4x
+          (vs 2 loose passes costing 1.54 s; adaptive: 1.19 s).
+        - tmat (shifted full-row factor, 256^3): true f64 contraction
+          SATURATES at ~1e-2 per pass regardless of tol (the eps-damped
+          ker(W) mismatch bounds the correction direction); tol 1e-5
+          burned 169 stall iterations for the same 20x a 6-iteration
+          1e-2 pass achieves.  Clamp at refine_solver_tol there.
+
+        Bucketed to DECADES because tol is a static jit argument:
+        arbitrary floats would compile a fresh chunk program per pass
+        (minutes over the tunnel); decades cap the variant count."""
+        hi = options.refine_solver_tol
+        if not exact_projector:
+            return hi
+        lo = 1e-5  # f32 Krylov floor (resolved_solver_tol)
+        if rel is None or not np.isfinite(rel) or rel <= 0:
+            return hi
+        needed = options.refine_target / rel
+        return float(min(max(10.0 ** np.ceil(np.log10(max(needed, lo))), lo),
+                         hi))
+
+    def _correction_solve(self, rhs_np, cached, grid, options, rel=None):
         """Projected MG-PCG on the defect (same operator, arbitrary RHS).
 
         When x64 is available (CPU backend) the correction runs in float64:
@@ -931,8 +964,8 @@ class GridSolver:
                 grid.shape,
                 (options.resolved_solver_tol("float64")
                  if jax.config.jax_enable_x64
-                 else max(options.refine_solver_tol,
-                          options.resolved_solver_tol("float32"))),
+                 else self._correction_tol(options, rel,
+                                           exact_projector=False)),
                 options.solver_maxiter,
                 host_gram=host,
             )
@@ -978,8 +1011,9 @@ class GridSolver:
             cached["gram"],
             jnp.float32(grid.cell_size),
             grid.shape,
-            max(options.refine_solver_tol,
-                options.resolved_solver_tol("float32")),
+            self._correction_tol(
+                options, rel,
+                exact_projector=cached["gram"].bmat is not None),
             options.solver_maxiter,
             host_gram=cached.get("host_gram"),
             pins=self._pin_masks(cached, grid),
