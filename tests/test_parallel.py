@@ -288,3 +288,27 @@ def test_grid_solver_mesh_shell_matches_single(mesh8):
     r8 = GridSolver(mesh=mesh8).compute_distance(sph, opts)
     rel = np.linalg.norm(r8.phi - r1.phi) / np.linalg.norm(r1.phi)
     assert rel < 1e-9, f"sharded shell vs single rel L2 {rel}"
+
+
+def test_grid_solver_mesh_tform_full_tier_matches_single(mesh8, monkeypatch):
+    """The r5 full-row whitening tier under GSPMD: the device-built dense
+    factor (projection._device_tform) replicates across the mesh while the
+    node fields stay z-slab sharded; the sharded solve must match the
+    single-device one.  Forced via the cap so a CI-sized fixture exercises
+    the tier that owns 8.2k < m <= 24.6k rows in production."""
+    from shm3d.config import SignedHeatOptions
+    from shm3d.solve import projection
+    from shm3d.solvers.grid import GridSolver
+
+    monkeypatch.setattr(projection, "ORTHO_GRAM_CAP", 0)
+    sph = make_icosphere(2)
+    opts = SignedHeatOptions(dtype="float32", h_coef=1.0, refine_steps=0,
+                             solver_tol=1e-6, solver_maxiter=20000,
+                             disk_cache=False)
+    r1 = GridSolver().compute_distance(sph, opts)
+    s8 = GridSolver(mesh=mesh8)
+    r8 = s8.compute_distance(sph, opts)
+    cached = next(iter(s8._cache.values()))
+    assert cached["gram"].tmat is not None and cached["pin_keep"] is None
+    rel = np.linalg.norm(r8.phi - r1.phi) / np.linalg.norm(r1.phi)
+    assert rel < 1e-5, f"sharded tform_full vs single rel L2 {rel}"
