@@ -558,7 +558,7 @@ class CRPath:
             m64 = self._mask64
             b64 = m64 * div64
             host_op = lambda x: m64 * (H64 @ (m64 * x)) + (1.0 - m64) * x
-            run = lambda b, tol=tol: _run_chunked(
+            run = lambda b, tol=tol, maxiter=maxiter: _run_chunked(
                 lambda x0, c, s: _cr_zeroset_chunk(
                     b, x0, a["L"], a["diag"], a["surf_mask"], *mg, s,
                     tol=tol, chunk=c, mg_sizes=h.sizes),
@@ -585,7 +585,7 @@ class CRPath:
 
             b64 = proj64(div64)
             host_op = lambda x: proj64(H64 @ x)
-            run = lambda b, tol=tol: _run_chunked(
+            run = lambda b, tol=tol, maxiter=maxiter: _run_chunked(
                 lambda x0, c, s: _cr_multiple_chunk(
                     b, x0, a["L"], a["diag"],
                     gparts["elems"], gparts["gids"], gparts["winv"], *mg, s,
@@ -598,7 +598,7 @@ class CRPath:
         else:
             b64 = div64 - div64.mean()
             host_op = lambda x: (lambda y: y - y.mean())(H64 @ x)
-            run = lambda b, tol=tol: _run_chunked(
+            run = lambda b, tol=tol, maxiter=maxiter: _run_chunked(
                 lambda x0, c, s: _cr_none_chunk(
                     b, x0, a["L"], a["diag"], *mg, s,
                     tol=tol, chunk=c, mg_sizes=h.sizes),
@@ -613,7 +613,7 @@ class CRPath:
         b64p = self._AtM_scipy @ phi_f
         P64 = self._P_scipy
         host_opp = lambda x: P64 @ x + shift * x
-        runp = lambda b, tol=tol: _run_chunked(
+        runp = lambda b, tol=tol, maxiter=maxiter: _run_chunked(
             lambda x0, c, s: _project_chunk(
                 b, x0, a["P"], a["p_diag"], s,
                 tol=tol, chunk=c, shift=shift),

@@ -361,16 +361,30 @@ def _refined_solve(run, host_op, b64, dtype, options, tm=None, device_mesh=None,
         rel = float(np.linalg.norm(r64)) / bnorm
         rels = [rel] if stats is None else stats.setdefault("refine_pass_rels", [rel])
         budget = options.refine_pass_budget(rel)
+        # per-pass iteration cap: a correction pass costing more device
+        # time than the primary solve is bad ROI — on ill-conditioned CR
+        # operators (knot) the correction Krylov crawls on sliver modes
+        # (the 1,232-iteration pathology; with the derived budget an
+        # UNCAPPED refinement ran ~20 min at knot scale, r5 measurement)
+        cap = max(2 * max(int(iters), 1), 60)
         for _ in range(budget):
             if not np.isfinite(rel) or rel <= options.refine_target:
                 break
-            d, it2, _ = run(put(r64), tol=options.refine_solver_tol)
+            d, it2, _ = run(put(r64), tol=options.refine_solver_tol,
+                            maxiter=cap)
             x64 = x64 + np.asarray(d, np.float64)
             total += int(it2)
             r64 = b64 - host_op(x64)
             new_rel = float(np.linalg.norm(r64)) / bnorm
             rels.append(new_rel)
-            stalled = not np.isfinite(new_rel) or new_rel > 0.5 * rel
+            # each tet correction pass costs about a primary solve (the cap
+            # above), so a pass that fails to contract 10x is bad ROI — at
+            # knot scale the sliver-mode floor gives 4.8x/3.2x passes at
+            # ~112 s each (r5 measurement: stopping here trades 3.9e-8 for
+            # 1.3e-7 final rel_res and saves ~2 primary-solve costs).  The
+            # grid path keeps its looser 2x guard: its passes cost ~1/10th
+            # of a primary there.
+            stalled = not np.isfinite(new_rel) or new_rel > 0.1 * rel
             rel = new_rel if np.isfinite(new_rel) else rel
             if stalled:
                 break  # f32 correction floor: further passes cannot help
@@ -977,7 +991,7 @@ class SignedHeatTetSolver:
         zeros = ell.replicated(np.zeros(n), dtype, self.mesh)
 
         def scaled_run(chunk_of):
-            def run(b, tol=tol):
+            def run(b, tol=tol, maxiter=maxiter):
                 bs = vs * b
                 y, iters, res = _run_chunked(
                     lambda x0, c, s: chunk_of(bs, x0, c, s, tol),
