@@ -405,6 +405,16 @@ def gram_from_arrays(arr: dict, dtype) -> GramTable:
             if bool(jnp.isfinite(tmat).all()):
                 break
             eps *= 10.0  # f32 Cholesky breakdown -> NaN factor: re-shift
+        else:
+            # even eps*1e3 failed: surrender the device tier — a None tmat
+            # makes _solve_pinned fall back to the exact host-projected
+            # loop (slow but always correct) instead of propagating NaNs
+            import warnings
+
+            warnings.warn("shm3d: full-row whitening factorization failed "
+                          "at all shifts; falling back to host-projected "
+                          "solves for this discretization")
+            tmat = None
     return GramTable(
         jnp.asarray(arr["idx"]),
         jnp.asarray(arr["val"], dtype),
