@@ -46,7 +46,11 @@ SLICED_MIN_NNZ = 200_000
 #: knot CR operator vs 221 for safe damped Jacobi (f64 host experiment,
 #: physical divergence RHS) — the sliver-dominated spectrum needs the wider
 #: polynomial attenuation band.  Degree-2 variants: lo=4 -> 138, lo=16 ->
-#: 120; Jacobi with 2 post-smooths only reached 187.
+#: 120; Jacobi with 2 post-smooths only reached 187.  WALL-CLOCK sweep on
+#: the real chip (r5, knot warm solve end-to-end): degree 2 = 60.1 s /
+#: 95 iters, degree 3 = 59.7 s / 78, degree 4 = 62.3 s / 68 — iteration
+#: savings and per-cycle SpMV cost cancel almost exactly; 3 is the flat
+#: optimum (override with SHM3D_CHEB_DEGREE for other spectra).
 CHEB_DEGREE = 3
 CHEB_LO_FRAC = 30.0
 CHEB_LMAX_SAFETY = 1.1
@@ -401,7 +405,7 @@ def build_hierarchy(
 
 
 def make_preconditioner_parts(levels, coarse_inv, sizes,
-                              degree: int = CHEB_DEGREE,
+                              degree: Optional[int] = None,
                               matvec0: Optional[Callable] = None):
     """V-cycle preconditioner M ~ H^{-1} with degree-``degree`` Chebyshev
     smoothing on the D^{-1} A interval baked into each level (AMGLevel.cheb)
@@ -415,6 +419,14 @@ def make_preconditioner_parts(levels, coarse_inv, sizes,
     ``matvec0``: the level-0 operator application when the hierarchy was
     built with skip_level0_A (must be the SAME operator the hierarchy was
     built on, e.g. the masked solve matvec)."""
+
+    if degree is None:
+        import os
+
+        # experiment knob: per-cycle level-0 cost is ~2*degree+1 SpMVs, so
+        # the degree trades cycle cost against iteration count (measured
+        # knot CR, CHEB_DEGREE note)
+        degree = int(os.environ.get("SHM3D_CHEB_DEGREE", CHEB_DEGREE))
 
     def mv(level: int, lvl: AMGLevel, x):
         if lvl.A is None:
@@ -457,7 +469,7 @@ def make_preconditioner_parts(levels, coarse_inv, sizes,
     return lambda b: cycle(0, b)
 
 
-def make_preconditioner(h: AMGHierarchy, degree: int = CHEB_DEGREE,
+def make_preconditioner(h: AMGHierarchy, degree: Optional[int] = None,
                         matvec0: Optional[Callable] = None):
     return make_preconditioner_parts(h.levels, h.coarse_inv, h.sizes,
                                      degree, matvec0=matvec0)
