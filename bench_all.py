@@ -215,6 +215,12 @@ def main():
             else:
                 lines.append(f"| {r['metric']} | — | — | "
                              f"{r.get('error', r.get('skipped'))} | — |")
+        lines += [
+            "",
+            "Accuracy pairing for these timed tiers: README.md §Performance "
+            "and bench.py's JSON accuracy block (rel-L2 of each tier vs a "
+            "refine-to-1e-11 reference of the same discretization).",
+        ]
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                "BENCH_TABLE.md"), "w") as f:
             f.write("\n".join(lines) + "\n")
