@@ -456,7 +456,10 @@ def make_projector(nodes8, coeffs8, gram: GramTable, n: int):
             # (tform_eps) this squares the eps-tail damping error and mops
             # up f32 factor rounding; with the exact subsampled factor it
             # is a cheap near-no-op.  Costs one sparse gram_apply + two
-            # extra MXU matvecs per projection.
+            # extra MXU matvecs per projection — and EARNS it: dropping it
+            # (single-apply) was measured at 256^3/SprayBottle with the
+            # pin-aware MG to cost 17 -> 43 CG iterations, 0.81 -> 1.04 s
+            # warm, and rel-L2 1.4e-6 -> 7.9e-6 (r5).
             r = a - gram_apply(z, gram)
             z = z + gram.tmat.T @ (gram.tmat @ r)
             return v - at_apply(z, nodes8, coeffs8, n)
