@@ -82,6 +82,12 @@ class GridResult:
         return self.phi.reshape(self.grid.shape)
 
 
+# Largest grid (total nodes) the f64 defect correction attempts on one
+# chip: beyond it the pair-refinement working set OOMs a 16 GB v5e
+# (measured at 512^3 = 134M nodes; 256^3 = 16.8M fits with >10x headroom).
+REFINE_MAX_NODES = 100_000_000
+
+
 # ---------------------------------------------------------------------------
 # jitted device stages
 
@@ -685,9 +691,45 @@ class GridSolver:
                         b_scale=float(jnp.linalg.norm(u)),
                     )
 
-            if options.refine_steps > 0 and dtype == jnp.float32:
+            if (options.refine_steps > 0 and dtype == jnp.float32
+                    and grid.total_nodes > REFINE_MAX_NODES):
+                # 512^3-class grids: the pair-refinement working set
+                # (~14 field-sized buffers + hostproj program temps on
+                # 537 MB fields) exceeds the 16 GB chip — measured
+                # RESOURCE_EXHAUSTED, and the failed attempt poisons the
+                # heap for the ops that follow.  Predictable upfront skip
+                # beats an unreliable recovery.
+                self.last_stats["refine_skipped"] = (
+                    f"grid {grid.total_nodes:,} nodes > REFINE_MAX_NODES")
+                tm.note("refinement skipped: grid too large for the f64 "
+                        "defect correction on one chip (f32 solution, "
+                        "rel_res ~1e-5)")
+            elif (options.refine_steps > 0 and dtype == jnp.float32
+                    and not cached.get("_refine_oom")):
                 with tm.phase("float64 defect correction"):
-                    u = self._refine(u, Y, cached, grid, is_mesh, options, tm)
+                    try:
+                        u = self._refine(u, Y, cached, grid, is_mesh,
+                                         options, tm)
+                    except Exception as e:
+                        # graceful degradation (SURVEY §5.3): at 512^3 the
+                        # pair-refinement working set (b/u/r hi-lo pairs +
+                        # hostproj program temps on 537 MB fields) exceeds
+                        # the 16 GB chip (measured r5).  Keep the f32
+                        # solution, warn once, and skip re-attempting for
+                        # this discretization.
+                        if "RESOURCE_EXHAUSTED" not in str(e):
+                            raise
+                        import warnings
+
+                        cached["_refine_oom"] = True
+                        self.last_stats["refine_skipped"] = "device OOM"
+                        tm.note("refinement skipped: device memory "
+                                "exhausted at this grid size; returning "
+                                "the f32 solution")
+                        warnings.warn(
+                            "shm3d: f64 defect correction exhausted device "
+                            "memory at this grid size; returning the f32 "
+                            "fast-tier solution (rel_res ~1e-5)")
             phi = -u
             u_dev = u
 
