@@ -240,7 +240,7 @@ def _rowsharded(yukawa_fn, queries, src_points, src_vectors, lam, mesh):
     that do not fit per-chip).  shard_map keeps the per-device computation a
     plain single-device kernel call, so the Pallas flash kernel — which
     GSPMD cannot partition — runs unchanged on each device's block."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec
 
     names = tuple(mesh.axis_names)
